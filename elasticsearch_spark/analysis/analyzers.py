@@ -1,0 +1,160 @@
+"""Text analysis chain — the reference's "standard" analyzer, vectorized.
+
+Reference semantics (citations into /root/reference/src/main/java/org/elasticsearch/):
+- default analyzer is "standard": StandardTokenizer (UAX#29 word break) +
+  LowerCaseFilter + StopFilter with an EMPTY stopword set, max_token_length
+  255 — index/analysis/StandardAnalyzerProvider.java:46-57,
+  index/analysis/AnalysisService.java:205-212.
+- the `_analyze` API exposes the chain for testing
+  (indices/analyze/AnalyzeActionTests.java:38-50); `analyze_series` is our
+  equivalent test surface.
+
+Implementation is Spark-first:
+- "simple" / "whitespace" analyzers compile to native Spark SQL expressions
+  (JVM-side, whole-stage-codegen; zero Python).
+- "standard" (UAX#29) has no built-in Spark equivalent, so it runs as a
+  vectorized pandas operation inside Arrow-batched UDFs
+  (pandas ``.str.findall`` with a single compiled regex — no per-row Python
+  at the Spark API level).
+
+UAX#29 approximation notes (SURVEY.md §7.1 hazard 6): a bare ``\\w+`` is NOT
+equivalent — apostrophes (WB6/WB7 MidNumLetQ), number separators (WB11/WB12
+MidNum), underscore joining (WB13 ExtendNumLet) and CJK ideograph-per-token
+all differ. The regex below implements those rules; golden-token tests in
+tests/test_analysis.py mirror the reference's AnalyzeActionTests.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.config import AnalyzerConfig
+
+# --- UAX#29-equivalent token pattern -------------------------------------
+# CJK ideographs: one token per character (StandardTokenizer IDEOGRAPHIC).
+_CJK = (
+    "[⺀-⻿々〇〡-〩〸-〻"
+    "㐀-䶿一-鿿豈-﫿"
+    "\U00020000-\U0002a6df\U0002a700-\U0002b73f]"
+)
+# Hiragana / Katakana runs (StandardTokenizer HIRAGANA/KATAKANA types).
+_HIRA = "[ぁ-ゖゝ-ゟ]+"
+_KATA = "[ァ-ヺー-ヿㇰ-ㇿｦ-ﾟ]+"
+# Word char: any \w that is not a CJK ideograph (underscore included — WB13a/b
+# ExtendNumLet joins across '_').
+_WC = rf"(?:(?!{_CJK})\w)"
+# Joiners inside a word token:
+#   '  ’  — MidNumLetQ / MidLetter between word chars (don't, l'avion)
+#   .     — MidNumLet between word chars (a.b, 3.14, example.com)
+#   ,     — MidNum, digits only (1,000)
+#   :     — MidLetter, letters only (approximated to word chars)
+_WORD = rf"{_WC}+(?:(?:['’.:]{_WC}+)|(?:(?<=\d),\d+))*"
+_STANDARD_RE = re.compile(f"{_KATA}|{_HIRA}|{_CJK}|{_WORD}", re.UNICODE)
+
+# "simple" analyzer token pattern — intentionally SQL-expressible so results
+# can be reproduced by a DuckDB oracle: regexp_extract_all(lower(text), ...)
+SIMPLE_TOKEN_PATTERN = "[a-z0-9]+"
+_SIMPLE_RE = re.compile(SIMPLE_TOKEN_PATTERN)
+_WHITESPACE_RE = re.compile(r"\S+")
+
+
+def _chunk_long(tokens: list[str], max_len: int) -> list[str]:
+    """StandardTokenizer splits (not truncates) tokens over max_token_length."""
+    if not tokens:
+        return tokens
+    out = []
+    for t in tokens:
+        if len(t) <= max_len:
+            out.append(t)
+        else:
+            out.extend(t[i : i + max_len] for i in range(0, len(t), max_len))
+    return out
+
+
+def tokenize_text(text: str, cfg: AnalyzerConfig | None = None) -> list[str]:
+    """Single-string analyze (driver-side / oracle use)."""
+    cfg = cfg or AnalyzerConfig()
+    if text is None:
+        return []
+    if cfg.kind == "standard":
+        toks = _STANDARD_RE.findall(text)
+        toks = _chunk_long(toks, cfg.max_token_length)
+        if cfg.lowercase:
+            toks = [t.lower() for t in toks]
+    elif cfg.kind == "simple":
+        toks = _SIMPLE_RE.findall(text.lower())
+    elif cfg.kind == "whitespace":
+        toks = _WHITESPACE_RE.findall(text)
+    elif cfg.kind == "keyword":
+        toks = [text] if text else []
+    else:
+        raise ValueError(f"unknown analyzer kind: {cfg.kind}")
+    if cfg.stopwords:
+        stop = set(cfg.stopwords)
+        toks = [t for t in toks if t not in stop]
+    return toks
+
+
+def analyze_series(s: pd.Series, cfg: AnalyzerConfig | None = None) -> pd.Series:
+    """Vectorized analyze of a pandas string Series → Series of token lists.
+
+    This is the hot path inside Arrow-batched UDFs; uses pandas .str ops
+    (C-loop over the batch), never a Python-level row loop in Spark.
+    """
+    cfg = cfg or AnalyzerConfig()
+    s = s.fillna("")
+    if cfg.kind == "standard":
+        toks = s.str.findall(_STANDARD_RE)
+        if cfg.max_token_length:
+            ml = cfg.max_token_length
+            toks = toks.map(lambda ts: _chunk_long(ts, ml))
+        if cfg.lowercase:
+            toks = toks.map(lambda ts: [t.lower() for t in ts])
+    elif cfg.kind == "simple":
+        toks = s.str.lower().str.findall(_SIMPLE_RE)
+    elif cfg.kind == "whitespace":
+        toks = s.str.findall(_WHITESPACE_RE)
+    elif cfg.kind == "keyword":
+        toks = s.map(lambda t: [t] if t else [])
+    else:
+        raise ValueError(f"unknown analyzer kind: {cfg.kind}")
+    if cfg.stopwords:
+        stop = set(cfg.stopwords)
+        toks = toks.map(lambda ts: [t for t in ts if t not in stop])
+    return toks
+
+
+def sql_tokenize_expr(col: str, cfg: AnalyzerConfig) -> str | None:
+    """Native Spark SQL expression for analyzers that need no Python.
+
+    Returns None when the analyzer requires the pandas path ("standard").
+    """
+    if cfg.kind == "simple":
+        return f"regexp_extract_all(lower({col}), '{SIMPLE_TOKEN_PATTERN}', 0)"
+    if cfg.kind == "whitespace":
+        # split on runs of whitespace, drop empty edge tokens
+        return f"filter(split({col}, '\\\\s+'), x -> x != '')"
+    if cfg.kind == "keyword":
+        return f"array({col})"
+    return None
+
+
+def tokenize_column(col: str, cfg: AnalyzerConfig | None = None) -> Column:
+    """Column-level tokenizer: native SQL expr when possible, else a
+    vectorized pandas UDF (Arrow-batched)."""
+    cfg = cfg or AnalyzerConfig()
+    expr = sql_tokenize_expr(col, cfg)
+    if expr is not None:
+        return F.expr(expr)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _tok(s: pd.Series) -> pd.Series:
+        return analyze_series(s, cfg)
+
+    return _tok(F.col(col))

@@ -1,0 +1,80 @@
+"""Configuration objects for the index build and query engine.
+
+Reference semantics being reproduced (citations into /root/reference):
+- BM25 defaults k1=1.2, b=0.75:
+  src/main/java/org/elasticsearch/index/similarity/BM25SimilarityProvider.java:46-48
+- default analyzer = "standard" (UAX#29 + lowercase, empty stopword set,
+  max_token_length 255):
+  src/main/java/org/elasticsearch/index/analysis/StandardAnalyzerProvider.java:46-57
+- default shard count 5, routing = murmur3(id) mod n:
+  src/main/java/org/elasticsearch/cluster/metadata/MetaDataCreateIndexService.java:333,
+  cluster/routing/operation/plain/PlainOperationRouting.java:265-286
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    """Lucene BM25 parameters (BM25SimilarityProvider.java:46-48 defaults)."""
+
+    k1: float = 1.2
+    b: float = 0.75
+    # Reproduce Lucene's lossy 1-byte norm (SmallFloat byte315) round-trip of
+    # the doc length. Required for score-identity with the reference engine.
+    quantize_norms: bool = True
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """Text analysis chain configuration.
+
+    ``kind``:
+      - "standard": UAX#29 word segmentation + lowercase, no stopwords —
+        the reference's default analyzer (AnalysisService.java:205-212).
+      - "simple":   lowercase + [a-z0-9]+ runs. SQL-expressible
+        (``regexp_extract_all(lower(text), '[a-z0-9]+')``) so results can be
+        cross-checked against a DuckDB oracle; JVM-side (no Python) in Spark.
+      - "whitespace": split on whitespace, no lowercasing
+        (WhitespaceTokenizerFactory).
+      - "keyword": whole value as a single token (KeywordTokenizerFactory).
+    """
+
+    kind: str = "standard"
+    lowercase: bool = True
+    max_token_length: int = 255
+    stopwords: tuple[str, ...] = ()  # standard analyzer default: empty set
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Inverted-index build configuration.
+
+    The index is a set of *segments* (immutable parquet file groups), one or
+    more per build partition — the Spark analog of Lucene segments inside
+    shards (index/engine/internal/InternalEngine.java:814-848).
+    """
+
+    text_col: str = "text"
+    # Stable document key, also the tie-break order. For transcripts:
+    # (conv_id, turn_idx); for the generic documents table: (doc_id,).
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    # Column used for hash routing (conversations stay co-located, the analog
+    # of ES parent/child same-shard routing). Defaults to first key column.
+    routing_col: str | None = None
+    # Extra columns kept in the per-segment doc table ("doc values") so that
+    # filtered queries (role:, tool:, ts range) never touch the source table.
+    stored_cols: tuple[str, ...] = ()
+    analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+    bm25: BM25Params = field(default_factory=BM25Params)
+    n_partitions: int = 8
+    # postings are packed in blocks of this many doc ids (Lucene50 FOR block
+    # size 128 — Elasticsearch090PostingsFormat.java:42-54)
+    block_size: int = 128
+    # keep latest version of a duplicated (key) by ts — the versionMap analog
+    dedup_latest_by: str | None = None
+
+    def routing(self) -> str:
+        return self.routing_col or self.key_cols[0]

@@ -1,0 +1,810 @@
+"""Query registry backing __spark_entry__.py.
+
+One entry per implemented operator (SURVEY.md §2 + pipeline ops). Each
+Spark callable takes (spark, sf_dir) and returns a DataFrame whose column
+names/values match the paired DuckDB oracle SQL exactly (aliases kept in
+lockstep; float columns rounded identically on both sides).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.config import AnalyzerConfig, BM25Params, IndexConfig
+from elasticsearch_spark.ops import aggs, filters, functionscore, joins, sort
+from elasticsearch_spark.oracle.sqlgen import bm25_topk_sql
+from elasticsearch_spark.pipeline import dedup, similarity, textstats
+from elasticsearch_spark.query.online import bm25_topk_online
+
+SIMPLE = AnalyzerConfig(kind="simple")
+BM25 = BM25Params()
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _online(spark, sf_dir, text, **kw):
+    docs = _t(spark, sf_dir, "documents")
+    kw.setdefault("score_decimals", 4)
+    return bm25_topk_online(
+        spark, docs, text, key_cols=["doc_id"], analyzer=SIMPLE, bm25=BM25, **kw
+    )
+
+
+# --------------------------------------------------------------------------
+# Full-text BM25 (online / pure-Catalyst path) — SURVEY.md §2.3
+# --------------------------------------------------------------------------
+
+register("bm25_term", bm25_topk_sql(["data"], k=10))(
+    lambda spark, sf: _online(spark, sf, "data", k=10)
+)
+
+register("bm25_match_or", bm25_topk_sql(["query", "fast", "merge"], k=10))(
+    lambda spark, sf: _online(spark, sf, "query fast merge", k=10)
+)
+
+register("bm25_match_and", bm25_topk_sql(["data", "query"], k=10, need=2))(
+    lambda spark, sf: _online(spark, sf, "data query", k=10, operator="and")
+)
+
+register(
+    "bm25_match_msm2",
+    bm25_topk_sql(["spark", "filter", "window"], k=10, need=2),
+)(
+    lambda spark, sf: _online(
+        spark, sf, "spark filter window", k=10, minimum_should_match=2
+    )
+)
+
+register(
+    "bm25_filtered",
+    bm25_topk_sql(["table", "scan"], k=10, filter_sql="lang = 'en'"),
+)(
+    lambda spark, sf: _online(
+        spark, sf, "table scan", k=10, filter_cond=filters.term("lang", "en")
+    )
+)
+
+register("bm25_zero_hits", bm25_topk_sql(["zzzzneverseen"], k=10))(
+    lambda spark, sf: _online(spark, sf, "zzzzneverseen", k=10)
+)
+
+register("bm25_k100", bm25_topk_sql(["slow", "hash"], k=100))(
+    lambda spark, sf: _online(spark, sf, "slow hash", k=100)
+)
+
+
+# --------------------------------------------------------------------------
+# Full-text BM25 through the segmented inverted index (the real engine)
+# --------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _indexed_reader(spark: SparkSession, sf_dir: str):
+    from elasticsearch_spark.index import IndexReader, build_index
+
+    key = os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        idx_dir = os.path.join(
+            "/tmp/es_spark_idx", key.strip("/").replace("/", "_")
+        )
+        if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+            cfg = IndexConfig(
+                text_col="text",
+                key_cols=("doc_id",),
+                stored_cols=("lang", "source", "n_chars"),
+                analyzer=SIMPLE,
+                n_partitions=8,
+            )
+            build_index(spark, _t(spark, sf_dir, "documents"), idx_dir, cfg)
+        _INDEX_CACHE[key] = idx_dir
+    return IndexReader(spark, _INDEX_CACHE[key])
+
+
+def _indexed(spark, sf_dir, text, k=10, **kw):
+    from elasticsearch_spark.query.executor import search_topk
+
+    reader = _indexed_reader(spark, sf_dir)
+    out = search_topk(reader, text, k=k, **kw)
+    return (
+        out.withColumn("score", F.round("score", 4))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+register("bm25_indexed_term", bm25_topk_sql(["data"], k=10))(
+    lambda spark, sf: _indexed(spark, sf, "data", k=10)
+)
+
+register("bm25_indexed_or", bm25_topk_sql(["query", "fast", "merge"], k=10))(
+    lambda spark, sf: _indexed(spark, sf, "query fast merge", k=10)
+)
+
+register("bm25_indexed_and", bm25_topk_sql(["data", "query"], k=10, need=2))(
+    lambda spark, sf: _indexed(spark, sf, "data query", k=10, operator="and")
+)
+
+register(
+    "bm25_indexed_filtered",
+    bm25_topk_sql(["table", "scan"], k=10, filter_sql="lang = 'en'"),
+)(
+    lambda spark, sf: _indexed(
+        spark, sf, "table scan", k=10, filter_cond=filters.term("lang", "en")
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Filters (SURVEY.md §2.2) — term/terms/range/prefix/wildcard/regexp/
+# exists/missing/ids/bool
+# --------------------------------------------------------------------------
+
+register(
+    "filter_term",
+    "SELECT doc_id FROM documents WHERE lang = 'es'",
+)(lambda spark, sf: _t(spark, sf, "documents").where(filters.term("lang", "es")).select("doc_id"))
+
+register(
+    "filter_terms_range",
+    "SELECT event_id FROM events "
+    "WHERE event_type IN ('click','error') AND value >= 50 AND value < 150",
+)(
+    lambda spark, sf: _t(spark, sf, "events")
+    .where(
+        filters.terms("event_type", ["click", "error"])
+        & filters.range_("value", gte=50, lt=150)
+    )
+    .select("event_id")
+)
+
+register(
+    "filter_prefix",
+    "SELECT doc_id FROM documents WHERE source LIKE 'src1%'",
+)(lambda spark, sf: _t(spark, sf, "documents").where(filters.prefix("source", "src1")).select("doc_id"))
+
+register(
+    "filter_wildcard",
+    "SELECT event_id FROM events WHERE regexp_matches(event_type, '^(?:c.*k)$')",
+)(lambda spark, sf: _t(spark, sf, "events").where(filters.wildcard("event_type", "c*k")).select("event_id"))
+
+register(
+    "filter_regexp",
+    "SELECT doc_id FROM documents WHERE regexp_matches(lang, '^(?:e[ns])$')",
+)(lambda spark, sf: _t(spark, sf, "documents").where(filters.regexp("lang", "e[ns]")).select("doc_id"))
+
+register(
+    "filter_exists_missing",
+    "SELECT sum(CASE WHEN nullif(source, 'src0') IS NOT NULL THEN 1 ELSE 0 END) AS n_exists, "
+    "sum(CASE WHEN nullif(source, 'src0') IS NULL THEN 1 ELSE 0 END) AS n_missing "
+    "FROM documents",
+)(
+    lambda spark, sf: _t(spark, sf, "documents")
+    .withColumn("maybe", F.expr("nullif(source, 'src0')"))
+    .agg(
+        F.sum(F.when(filters.exists("maybe"), 1).otherwise(0)).alias("n_exists"),
+        F.sum(F.when(filters.missing("maybe"), 1).otherwise(0)).alias("n_missing"),
+    )
+)
+
+register(
+    "filter_ids",
+    "SELECT doc_id, lang FROM documents WHERE doc_id IN (1, 5, 7, 100, 400)",
+)(
+    lambda spark, sf: _t(spark, sf, "documents")
+    .where(filters.ids("doc_id", [1, 5, 7, 100, 400]))
+    .select("doc_id", "lang")
+)
+
+register(
+    "filter_bool",
+    "SELECT doc_id FROM documents WHERE (lang = 'en' OR lang = 'es') "
+    "AND n_chars >= 100 AND n_chars <= 400 AND NOT source = 'src3'",
+)(
+    lambda spark, sf: _t(spark, sf, "documents")
+    .where(
+        filters.bool_(
+            must=[filters.range_("n_chars", gte=100, lte=400)],
+            should=[filters.term("lang", "en"), filters.term("lang", "es")],
+            must_not=[filters.term("source", "src3")],
+        )
+    )
+    .select("doc_id")
+)
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY.md §2.5)
+# --------------------------------------------------------------------------
+
+register(
+    "agg_stats",
+    "SELECT l_returnflag, count(l_quantity) AS count, min(l_quantity) AS min, "
+    "max(l_quantity) AS max, round(sum(l_quantity), 4) AS sum, "
+    "round(avg(l_quantity), 4) AS avg FROM lineitem GROUP BY l_returnflag",
+)(
+    lambda spark, sf: aggs.stats(_t(spark, sf, "lineitem"), "l_quantity", by=["l_returnflag"])
+    .withColumn("sum", F.round("sum", 4))
+    .withColumn("avg", F.round("avg", 4))
+)
+
+register(
+    "agg_extended_stats",
+    "SELECT l_linestatus, round(var_pop(l_extendedprice), 2) AS variance, "
+    "round(stddev_pop(l_extendedprice), 4) AS std_deviation "
+    "FROM lineitem GROUP BY l_linestatus",
+)(
+    lambda spark, sf: aggs.extended_stats(
+        _t(spark, sf, "lineitem"), "l_extendedprice", by=["l_linestatus"]
+    ).select(
+        "l_linestatus",
+        F.round("variance", 2).alias("variance"),
+        F.round("std_deviation", 4).alias("std_deviation"),
+    )
+)
+
+register(
+    "agg_value_count_cardinality",
+    "SELECT l_returnflag, count(l_partkey) AS value_count, "
+    "count(DISTINCT l_partkey) AS cardinality FROM lineitem GROUP BY l_returnflag",
+)(
+    lambda spark, sf: _t(spark, sf, "lineitem")
+    .groupBy("l_returnflag")
+    .agg(
+        F.count("l_partkey").alias("value_count"),
+        F.countDistinct("l_partkey").alias("cardinality"),
+    )
+)
+
+register(
+    "agg_percentiles",
+    "SELECT round(quantile_cont(value, 0.25), 4) AS p25, "
+    "round(quantile_cont(value, 0.50), 4) AS p50, "
+    "round(quantile_cont(value, 0.95), 4) AS p95 FROM events",
+)(
+    lambda spark, sf: _t(spark, sf, "events").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+)
+
+register(
+    "agg_terms_topn",
+    "SELECT event_type, count(*) AS doc_count FROM events GROUP BY event_type "
+    "ORDER BY doc_count DESC, event_type ASC LIMIT 5",
+)(lambda spark, sf: aggs.terms_agg(_t(spark, sf, "events"), "event_type", size=5))
+
+register(
+    "agg_histogram",
+    "SELECT CAST(floor(value / 50.0) * 50 AS DOUBLE) AS key, count(*) AS doc_count "
+    "FROM events GROUP BY 1",
+)(
+    lambda spark, sf: aggs.histogram(_t(spark, sf, "events"), "value", 50.0)
+    .withColumn("key", F.col("key").cast("double"))
+)
+
+register(
+    "agg_date_histogram",
+    "SELECT date_trunc('day', ts) AS key, count(*) AS doc_count FROM events GROUP BY 1",
+)(lambda spark, sf: aggs.date_histogram(_t(spark, sf, "events"), "ts", "day"))
+
+register(
+    "agg_range",
+    "SELECT range_key, count(*) AS doc_count FROM ("
+    " SELECT CASE WHEN n_chars < 100 THEN '*-100' "
+    "   WHEN n_chars >= 100 AND n_chars < 300 THEN '100-300' "
+    "   WHEN n_chars >= 300 THEN '300-*' END AS range_key FROM documents"
+    ") GROUP BY range_key",
+)(
+    lambda spark, sf: aggs.range_agg(
+        _t(spark, sf, "documents"), "n_chars", [(None, 100), (100, 300), (300, None)]
+    )
+)
+
+register(
+    "agg_filters",
+    "SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors, "
+    "sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS big, "
+    "sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS even_users FROM events",
+)(
+    lambda spark, sf: aggs.filters_agg(
+        _t(spark, sf, "events"),
+        {
+            "errors": filters.term("event_type", "error"),
+            "big": F.col("value") > 100,
+            "even_users": F.col("user_id") % 2 == 0,
+        },
+    )
+)
+
+register(
+    "agg_missing_global",
+    "SELECT (SELECT count(*) FROM documents WHERE nullif(source, 'src2') IS NULL) "
+    "AS missing_count, (SELECT count(*) FROM documents) AS global_count",
+)(
+    lambda spark, sf: aggs.missing_agg(
+        _t(spark, sf, "documents").withColumn("maybe", F.expr("nullif(source,'src2')")),
+        "maybe",
+    )
+    .withColumnRenamed("doc_count", "missing_count")
+    .crossJoin(
+        aggs.global_agg(
+            _t(spark, sf, "documents"),
+            lambda d: d.agg(F.count(F.lit(1)).alias("global_count")),
+        )
+    )
+)
+
+register(
+    "agg_significant_terms",
+    """
+WITH tot AS (
+  SELECT count(*) AS bg_total,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS fg_total
+  FROM documents
+), counts AS (
+  SELECT lang, count(*) AS bg_count,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS fg_count
+  FROM documents GROUP BY lang
+)
+SELECT lang, fg_count, bg_count,
+       round((fg_count / CAST(fg_total AS DOUBLE) - bg_count / CAST(bg_total AS DOUBLE))
+         * (fg_count / CAST(fg_total AS DOUBLE)) / (bg_count / CAST(bg_total AS DOUBLE)), 6)
+         AS sig_score
+FROM counts CROSS JOIN tot
+WHERE fg_count >= 3
+  AND (fg_count / CAST(fg_total AS DOUBLE) - bg_count / CAST(bg_total AS DOUBLE))
+      * (fg_count / CAST(fg_total AS DOUBLE)) / (bg_count / CAST(bg_total AS DOUBLE)) > 0
+ORDER BY sig_score DESC, lang ASC LIMIT 5
+""",
+)(
+    lambda spark, sf: aggs.significant_terms(
+        _t(spark, sf, "documents"), "lang", filters.term("source", "src1"), size=5
+    ).withColumn("sig_score", F.round("sig_score", 6))
+)
+
+register(
+    "agg_top_hits",
+    "SELECT lang, doc_id, n_chars FROM ("
+    " SELECT lang, doc_id, n_chars, row_number() OVER ("
+    "  PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS hit_rank"
+    " FROM documents) WHERE hit_rank <= 3",
+)(
+    lambda spark, sf: aggs.top_hits(
+        _t(spark, sf, "documents"),
+        by=["lang"],
+        order=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=3,
+    ).select("lang", "doc_id", "n_chars")
+)
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY.md §2.4)
+# --------------------------------------------------------------------------
+
+register(
+    "join_has_child",
+    "SELECT o_orderkey FROM orders WHERE o_orderkey IN "
+    "(SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)",
+)(
+    lambda spark, sf: joins.has_child(
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+        F.col("l_quantity") > 45,
+    ).select("o_orderkey")
+)
+
+register(
+    "join_has_child_score",
+    "SELECT o.o_orderkey, round(c.child_score, 4) AS child_score FROM orders o JOIN ("
+    " SELECT l_orderkey AS o_orderkey, avg(l_extendedprice) AS child_score"
+    " FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey) c USING (o_orderkey) "
+    "ORDER BY child_score DESC, o_orderkey ASC LIMIT 20",
+)(
+    lambda spark, sf: joins.has_child(
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+        F.col("l_quantity") > 45,
+        score_mode="avg",
+        score_col=F.col("l_extendedprice"),
+    )
+    .select("o_orderkey", F.round("child_score", 4).alias("child_score"))
+    .orderBy(F.col("child_score").desc(), F.col("o_orderkey").asc())
+    .limit(20)
+)
+
+register(
+    "join_has_parent",
+    "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey IN "
+    "(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)",
+)(
+    lambda spark, sf: joins.has_parent(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        "o_orderkey",
+        "l_orderkey",
+        F.col("o_totalprice") > 400000,
+    ).select("l_orderkey", "l_linenumber")
+)
+
+register(
+    "join_top_children",
+    "SELECT DISTINCT o_orderkey FROM orders JOIN ("
+    " SELECT l_orderkey AS o_orderkey FROM ("
+    "  SELECT l_orderkey, row_number() OVER (PARTITION BY l_orderkey "
+    "   ORDER BY l_extendedprice DESC, l_linenumber ASC) AS child_rank "
+    "  FROM lineitem WHERE l_discount > 0.08) WHERE child_rank <= 2"
+    ") USING (o_orderkey)",
+)(
+    lambda spark, sf: joins.top_children(
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+        F.col("l_discount") > 0.08,
+        order=[F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()],
+        k_per_parent=2,
+    ).select("o_orderkey").distinct()
+)
+
+register(
+    "join_terms_lookup",
+    "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_suppkey IN "
+    "(SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)",
+)(
+    lambda spark, sf: _t(spark, sf, "lineitem")
+    .join(
+        F.broadcast(
+            _t(spark, sf, "supplier")
+            .where(F.col("s_nationkey") == 3)
+            .select(F.col("s_suppkey").alias("l_suppkey"))
+            .distinct()
+        ),
+        "l_suppkey",
+        "left_semi",
+    )
+    .select("l_orderkey", "l_linenumber")
+)
+
+register(
+    "join_children_agg",
+    "SELECT o_orderpriority, count(*) AS doc_count, round(sum(l_quantity), 2) AS qty "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY o_orderpriority",
+)(
+    lambda spark, sf: _t(spark, sf, "lineitem")
+    .join(
+        _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    .groupBy("o_orderpriority")
+    .agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+)
+
+register(
+    "join_nested_score",
+    "SELECT o_orderkey, round(avg(l_extendedprice), 4) AS nested_score "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE l_quantity > 49 GROUP BY o_orderkey",
+)(
+    lambda spark, sf: joins.nested_score(
+        _t(spark, sf, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.collect_list(
+                F.struct("l_quantity", "l_extendedprice")
+            ).alias("items")
+        ),
+        "items",
+        "x.l_quantity > 49",
+        "x.l_extendedprice",
+        mode="avg",
+    ).select("o_orderkey", F.round("nested_score", 4).alias("nested_score"))
+)
+
+
+# --------------------------------------------------------------------------
+# Sort / pagination / score shaping (SURVEY.md §2.6-§2.7, §2.3)
+# --------------------------------------------------------------------------
+
+register(
+    "sort_missing_first",
+    "SELECT event_id, nullif(event_type, 'error') AS et FROM events "
+    "ORDER BY et ASC NULLS FIRST, event_id ASC LIMIT 20",
+)(
+    lambda spark, sf: _t(spark, sf, "events")
+    .withColumn("et", F.expr("nullif(event_type, 'error')"))
+    .orderBy(sort.sort_key("et", ascending=True, missing="first"), F.col("event_id").asc())
+    .select("event_id", "et")
+    .limit(20)
+)
+
+register(
+    "search_after",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE (o_totalprice < 300000) OR (o_totalprice = 300000 AND o_orderkey > 500) "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+)(
+    lambda spark, sf: sort.search_after(
+        _t(spark, sf, "orders"),
+        [("o_totalprice", False), ("o_orderkey", True)],
+        [300000, 500],
+        size=10,
+    ).select("o_orderkey", "o_totalprice")
+)
+
+register(
+    "from_size_page",
+    "SELECT event_id FROM events ORDER BY ts ASC, event_id ASC LIMIT 10 OFFSET 20",
+)(
+    lambda spark, sf: sort.from_size(
+        _t(spark, sf, "events"),
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        from_=20,
+        size=10,
+    ).select("event_id")
+)
+
+register(
+    "function_score_decay",
+    "SELECT doc_id, round(exp(-(greatest(abs(n_chars - 200.0) - 0.0, 0.0) * "
+    "greatest(abs(n_chars - 200.0) - 0.0, 0.0)) / (2 * (100.0 * 100.0 / (2 * ln(2.0))))), 6) "
+    "AS score FROM documents ORDER BY score DESC, doc_id ASC LIMIT 15",
+)(
+    lambda spark, sf: _t(spark, sf, "documents")
+    .withColumn("score", F.lit(1.0))
+    .transform(
+        lambda d: functionscore.function_score(
+            d, "score", [functionscore.decay("gauss", "n_chars", 200.0, 100.0)]
+        )
+    )
+    .select("doc_id", F.round("score", 6).alias("score"))
+    .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    .limit(15)
+)
+
+register(
+    "dis_max_constant_score",
+    "SELECT doc_id, round(greatest(CASE WHEN lang = 'en' THEN 2.0 ELSE 0.0 END, "
+    "CASE WHEN n_chars > 300 THEN 1.5 ELSE 0.0 END), 4) AS score "
+    "FROM documents WHERE lang = 'en' OR n_chars > 300 "
+    "ORDER BY score DESC, doc_id ASC LIMIT 25",
+)(
+    lambda spark, sf: _t(spark, sf, "documents")
+    .withColumn(
+        "score",
+        functionscore.dis_max(
+            [
+                F.when(filters.term("lang", "en"), 2.0).otherwise(0.0),
+                F.when(F.col("n_chars") > 300, 1.5).otherwise(0.0),
+            ]
+        ),
+    )
+    .where(filters.term("lang", "en") | (F.col("n_chars") > 300))
+    .select("doc_id", F.round("score", 4).alias("score"))
+    .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    .limit(25)
+)
+
+register(
+    "boosting_min_score",
+    "SELECT doc_id, round(CASE WHEN source = 'src2' THEN n_chars * 0.2 "
+    "ELSE CAST(n_chars AS DOUBLE) END, 4) AS score FROM documents "
+    "WHERE (CASE WHEN source = 'src2' THEN n_chars * 0.2 ELSE CAST(n_chars AS DOUBLE) END) >= 80 "
+    "ORDER BY score DESC, doc_id ASC LIMIT 30",
+)(
+    lambda spark, sf: sort.min_score(
+        functionscore.boosting(
+            _t(spark, sf, "documents").withColumn(
+                "score", F.col("n_chars").cast("double")
+            ),
+            "score",
+            filters.term("source", "src2"),
+            0.2,
+        ),
+        "score",
+        80.0,
+    )
+    .select("doc_id", F.round("score", 4).alias("score"))
+    .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    .limit(30)
+)
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: dedup / similarity / text stats
+# --------------------------------------------------------------------------
+
+register(
+    "dedup_exact_groups",
+    "SELECT min(doc_id) AS keep_key, count(*) AS n_dups FROM documents "
+    "GROUP BY text HAVING count(*) > 1",
+)(
+    lambda spark, sf: dedup.exact_dup_groups(
+        _t(spark, sf, "documents"), "text", "doc_id"
+    ).select("keep_key", "n_dups")
+)
+
+register(
+    "dedup_exact_keep",
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+)(
+    lambda spark, sf: dedup.exact_dedup(
+        _t(spark, sf, "documents"), "text", "doc_id"
+    ).select("doc_id")
+)
+
+# minhash / simhash rely on xxhash64 — not reproducible in the SQL oracle;
+# registered without oracle (driver records rows-only check), correctness
+# covered by tests/test_pipeline.py against exact Jaccard.
+register("dedup_minhash_lsh")(
+    lambda spark, sf: dedup.minhash_dedup(
+        _t(spark, sf, "documents"), "text", "doc_id", threshold=0.8
+    ).select("doc_id")
+)
+
+register("dedup_simhash")(
+    lambda spark, sf: dedup.simhash_near_dups(
+        dedup.simhash_signatures(_t(spark, sf, "documents"), "text", "doc_id"),
+        hamming_radius=3,
+    )
+)
+
+register(
+    "dedup_ngram_jaccard",
+    """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([substr(lower(text), i, 5)
+                        for i in range(1, greatest(len(text) - 3, 2))]) AS s
+  FROM documents WHERE doc_id < 60
+)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       round(len(list_intersect(a.s, b.s)) /
+             CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) /
+      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2
+""",
+)(
+    lambda spark, sf: dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents").where(F.col("doc_id") < 60),
+        "text",
+        "doc_id",
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 60)
+        .select(F.col("doc_id").alias("key_a"))
+        .crossJoin(
+            _t(spark, sf, "documents")
+            .where(F.col("doc_id") < 60)
+            .select(F.col("doc_id").alias("key_b"))
+        )
+        .where(F.col("key_a") < F.col("key_b")),
+        shingle_size=5,
+    )
+    .where(F.col("jaccard") >= 0.2)
+    .select("key_a", "key_b", F.round("jaccard", 6).alias("jaccard"))
+)
+
+register(
+    "ann_cosine_topk",
+    "SELECT vec_id, round(list_cosine_similarity(embedding, "
+    "(SELECT embedding FROM embeddings WHERE vec_id = 7)), 4) AS cosine "
+    "FROM embeddings ORDER BY cosine DESC, vec_id ASC LIMIT 10",
+)(
+    lambda spark, sf: similarity.cosine_topk(
+        _t(spark, sf, "embeddings"),
+        "embedding",
+        "vec_id",
+        _t(spark, sf, "embeddings")
+        .where(F.col("vec_id") == 7)
+        .collect()[0]["embedding"],
+        k=10,
+        decimals=4,
+    )
+)
+
+register("ann_ivf_topk")(  # hash-family not in SQL → rows-only check
+    lambda spark, sf: similarity.ivf_topk(
+        _t(spark, sf, "embeddings"),
+        "embedding",
+        "vec_id",
+        _t(spark, sf, "embeddings")
+        .where(F.col("vec_id") == 7)
+        .collect()[0]["embedding"],
+        k=10,
+        bits=6,
+        probe_hamming=2,
+    )
+)
+
+register(
+    "text_token_count",
+    "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) "
+    "AS ws_tokens FROM documents",
+)(
+    lambda spark, sf: textstats.token_count(_t(spark, sf, "documents")).select(
+        "doc_id", "ws_tokens"
+    )
+)
+
+register(
+    "text_quality",
+    "SELECT doc_id, length(text) AS n_chars_calc, "
+    "round(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) / "
+    "CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio "
+    "FROM documents",
+)(
+    lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.round(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0)))
+            / F.greatest(F.length("text"), F.lit(1)).cast("double"),
+            6,
+        ).alias("punct_ratio"),
+    )
+)
+
+register(
+    "text_fingerprint_cardinality",
+    "SELECT lang, count(DISTINCT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) "
+    "AS n_unique FROM documents GROUP BY lang",
+)(
+    lambda spark, sf: textstats.fingerprint(_t(spark, sf, "documents"))
+    .groupBy("lang")
+    .agg(F.countDistinct("fingerprint").alias("n_unique"))
+)
+
+register("text_language_id")(  # heuristic — verified vs lang column in tests
+    lambda spark, sf: textstats.language_id(_t(spark, sf, "documents")).select(
+        "doc_id", "lang", "lang_pred"
+    )
+)
+
+register("multimodal_features")(  # stubbed decode; schema/plumbing check
+    lambda spark, sf: __import__(
+        "elasticsearch_spark.pipeline.multimodal", fromlist=["x"]
+    ).extract_features(
+        __import__(
+            "elasticsearch_spark.pipeline.multimodal", fromlist=["x"]
+        ).synthesize_media(_t(spark, sf, "documents"), "doc_id", "text"),
+        dim=16,
+    ).select("key", "media_type", "n_bytes")
+)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -1,0 +1,376 @@
+"""Partition-parallel inverted-index builder.
+
+The Spark analog of the reference's indexing path (SURVEY.md §3.2):
+
+  bulk routing  shardId = murmur3(routing) mod numShards
+    (cluster/routing/operation/plain/PlainOperationRouting.java:265-286)
+  → per-shard Lucene segment construction
+    (index/engine/internal/InternalEngine.java:571-622, refresh :814-848)
+  → translog/commit-point durability
+    (index/translog/Translog.java, LocalIndexShardGateway.java:113-161)
+
+Here:
+  pid = pmod(xxhash64(routing_col), n_partitions)   -- one shuffle, total
+  → repartition(n, pid).sortWithinPartitions(pid, *key_cols)
+  → mapInPandas streams Arrow batches, accumulates one pid at a time and
+    flushes immutable parquet *segments* (postings blocks, doc table, packed
+    norms, per-segment term stats) directly from the task — like a Lucene
+    flush. Deterministic file names + contents ⇒ task retries and
+    checkpoint-resume are idempotent and byte-identical.
+  → the returned manifest rows (per-partition lineage + metrics: docs,
+    terms, postings bytes, checksum) are committed by the driver — the
+    translog/commit-point analog. Resume skips committed pids.
+
+Scale notes (100 TB design): the only full-data shuffle is the routing
+repartition. Segment construction is memory-bounded via
+``max_docs_per_segment`` flushes. Global term statistics (DFS semantics,
+search/dfs/DfsPhase.java:63-104) are one groupBy over the small per-segment
+term-stats tables, written sorted by term so query-time term lookups prune
+row groups.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from collections.abc import Iterator
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.analysis.analyzers import analyze_series
+from elasticsearch_spark.config import IndexConfig
+from elasticsearch_spark.functions.smallfloat import effective_doc_length
+from elasticsearch_spark.index.codec import delta_encode, pack_u32
+
+PID_COL = "__pid"
+
+MANIFEST_SCHEMA = (
+    "partition_id int, segment_id string, status string, docs_indexed long, "
+    "n_terms long, postings_bytes long, sum_doc_len long, merge_fan_in int, "
+    "checksum string"
+)
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    n_docs: int
+    total_tokens: int
+    n_segments: int
+    n_partitions: int
+
+
+def _write_deterministic(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(
+        table, tmp, compression="zstd", write_statistics=True,
+        data_page_size=1 << 20,
+    )
+    os.replace(tmp, path)
+
+
+def _flush_segment(
+    pid: int,
+    seq: int,
+    frames: list[pd.DataFrame],
+    cfg: IndexConfig,
+    index_dir: str,
+) -> dict:
+    """Build one immutable segment from the pandas rows of one pid chunk."""
+    pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    seg = f"{pid:05d}-{seq:03d}"
+    n_docs = len(pdf)
+
+    tokens = analyze_series(pdf[cfg.text_col], cfg.analyzer)
+    doc_len = tokens.str.len().to_numpy(dtype=np.int64)
+    dl_eff = effective_doc_length(doc_len, quantize=cfg.bm25.quantize_norms)
+
+    # exploded (local_doc_id, term) pairs — vectorized
+    lens = doc_len
+    doc_rep = np.repeat(np.arange(n_docs, dtype=np.uint32), lens)
+    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tokens.to_numpy()]) \
+        if n_docs else np.array([], dtype=object)
+    # tf per (term, doc): sort by (term, doc) then run-length encode
+    ed = pd.DataFrame({"term": flat_terms, "doc": doc_rep})
+    grouped = ed.groupby(["term", "doc"], sort=True).size().reset_index(name="tf")
+    terms_arr = grouped["term"].to_numpy()
+    docs_arr = grouped["doc"].to_numpy(dtype=np.uint32)
+    tfs_arr = grouped["tf"].to_numpy(dtype=np.uint32)
+
+    # term boundaries (terms_arr sorted)
+    uniq_terms, term_starts = np.unique(terms_arr, return_index=True)
+    term_ends = np.append(term_starts[1:], len(terms_arr))
+
+    bs = cfg.block_size
+    p_term, p_block, p_ndocs, p_firstdoc, p_lastdoc = [], [], [], [], []
+    p_maxtf, p_mindl, p_docs, p_tfs = [], [], [], []
+    st_df, st_ttf, st_maxtf = [], [], []
+    postings_bytes = 0
+    h = hashlib.sha256()
+    for ti in range(len(uniq_terms)):
+        s, e = term_starts[ti], term_ends[ti]
+        tdocs = docs_arr[s:e]
+        ttfs = tfs_arr[s:e]
+        st_df.append(e - s)
+        st_ttf.append(int(ttfs.sum()))
+        st_maxtf.append(int(ttfs.max()))
+        for b0 in range(0, len(tdocs), bs):
+            bdocs = tdocs[b0 : b0 + bs]
+            btfs = ttfs[b0 : b0 + bs]
+            packed_d = pack_u32(delta_encode(bdocs))
+            packed_t = pack_u32(btfs)
+            p_term.append(uniq_terms[ti])
+            p_block.append(b0 // bs)
+            p_ndocs.append(len(bdocs))
+            p_firstdoc.append(int(bdocs[0]))
+            p_lastdoc.append(int(bdocs[-1]))
+            p_maxtf.append(int(btfs.max()))
+            p_mindl.append(float(dl_eff[bdocs].min()))
+            p_docs.append(packed_d)
+            p_tfs.append(packed_t)
+            postings_bytes += len(packed_d) + len(packed_t)
+            h.update(packed_d)
+            h.update(packed_t)
+
+    seg_dir = lambda sub: os.path.join(index_dir, sub, f"segment_id={seg}", "data.parquet")  # noqa: E731
+    postings_tbl = pa.table(
+        {
+            "term": pa.array(p_term, pa.string()),
+            # int64: merged segments use composite (rank<<32 | ordinal) ids
+            "block_id": pa.array(p_block, pa.int64()),
+            "n_docs": pa.array(p_ndocs, pa.int32()),
+            "first_doc": pa.array(p_firstdoc, pa.int64()),
+            "last_doc": pa.array(p_lastdoc, pa.int64()),
+            "max_tf": pa.array(p_maxtf, pa.int32()),
+            "min_dl_eff": pa.array(p_mindl, pa.float64()),
+            "docs_packed": pa.array(p_docs, pa.binary()),
+            "tfs_packed": pa.array(p_tfs, pa.binary()),
+        }
+    )
+    _write_deterministic(postings_tbl, seg_dir("postings"))
+
+    doc_cols = {
+        "local_doc_id": pa.array(np.arange(n_docs, dtype=np.int32)),
+        "doc_len": pa.array(doc_len, pa.int64()),
+        "dl_eff": pa.array(dl_eff, pa.float64()),
+    }
+    for c in (*cfg.key_cols, *cfg.stored_cols):
+        arr = pa.Array.from_pandas(pdf[c])
+        if pa.types.is_timestamp(arr.type) and arr.type.unit == "ns":
+            # Spark cannot read TIMESTAMP(NANOS) parquet
+            arr = arr.cast(pa.timestamp("us", tz=arr.type.tz))
+        doc_cols[c] = arr
+    _write_deterministic(pa.table(doc_cols), seg_dir("docs"))
+
+    # norms: packed true doc lengths (uint32), one row per segment — the
+    # scorer re-derives byte315 effective lengths exactly (float64) from
+    # these, so quantized scores are bit-identical to the oracle.
+    norms_tbl = pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "sum_doc_len": pa.array([int(doc_len.sum())], pa.int64()),
+            "doc_len_packed": pa.array(
+                [doc_len.astype(np.uint32).tobytes()], pa.binary()
+            ),
+        }
+    )
+    _write_deterministic(norms_tbl, seg_dir("norms"))
+
+    segterms_tbl = pa.table(
+        {
+            "term": pa.array(uniq_terms, pa.string()),
+            "df": pa.array(st_df, pa.int64()),
+            "ttf": pa.array(st_ttf, pa.int64()),
+            "max_tf": pa.array(st_maxtf, pa.int32()),
+        }
+    )
+    _write_deterministic(segterms_tbl, seg_dir("segterms"))
+
+    return {
+        "partition_id": pid,
+        "segment_id": seg,
+        "status": "committed",
+        "docs_indexed": n_docs,
+        "n_terms": len(uniq_terms),
+        "postings_bytes": postings_bytes,
+        "sum_doc_len": int(doc_len.sum()),
+        "merge_fan_in": 1,
+        "checksum": h.hexdigest(),
+    }
+
+
+def _make_build_fn(cfg: IndexConfig, index_dir: str, max_docs_per_segment: int):
+    def build_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[dict] = []
+        cur_pid: int | None = None
+        buf: list[pd.DataFrame] = []
+        buf_docs = 0
+        seq = 0
+
+        def flush():
+            nonlocal buf, buf_docs, seq
+            if buf_docs:
+                rows.append(_flush_segment(cur_pid, seq, buf, cfg, index_dir))
+                seq += 1
+            buf, buf_docs = [], 0
+
+        for batch in batches:
+            if batch.empty:
+                continue
+            # batch is sorted by (pid, keys); split on pid changes
+            pids = batch[PID_COL].to_numpy()
+            change = np.flatnonzero(np.diff(pids)) + 1
+            for chunk in np.split(np.arange(len(batch)), change):
+                part = batch.iloc[chunk]
+                pid = int(part[PID_COL].iloc[0])
+                if pid != cur_pid:
+                    flush()
+                    cur_pid, seq = pid, 0
+                buf.append(part)
+                buf_docs += len(part)
+                if buf_docs >= max_docs_per_segment:
+                    flush()
+        flush()
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "partition_id", "segment_id", "status", "docs_indexed",
+                "n_terms", "postings_bytes", "sum_doc_len", "merge_fan_in",
+                "checksum",
+            ],
+        )
+
+    return build_fn
+
+
+def dedup_latest(df: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Keep-latest-version semantics for duplicated keys (the versionMap /
+    external-versioning analog, index/engine/internal/LiveVersionMap.java)."""
+    if not cfg.dedup_latest_by:
+        return df
+    w = (
+        Window.partitionBy(*cfg.key_cols)
+        .orderBy(F.col(cfg.dedup_latest_by).desc())
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def committed_pids(spark: SparkSession, index_dir: str) -> set[int]:
+    mpath = os.path.join(index_dir, "manifest")
+    if not os.path.isdir(mpath):
+        return set()
+    man = spark.read.parquet(mpath)
+    return {
+        r["partition_id"]
+        for r in man.where(F.col("status") == "committed")
+        .select("partition_id").distinct().collect()
+    }
+
+
+def build_index(
+    spark: SparkSession,
+    df: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    resume: bool = False,
+    max_docs_per_segment: int = 1 << 20,
+    only_pids: set[int] | None = None,
+) -> BuildResult:
+    """Build (or resume) the inverted index for ``df`` under ``index_dir``.
+
+    ``only_pids`` restricts the build to a pid subset (used by tests to
+    simulate a crash between partition commits).
+    """
+    cfg = cfg or IndexConfig()
+    os.makedirs(index_dir, exist_ok=True)
+
+    df = dedup_latest(df, cfg)
+    df = df.withColumn(
+        PID_COL,
+        F.pmod(F.xxhash64(F.col(cfg.routing())), F.lit(cfg.n_partitions)).cast("int"),
+    )
+
+    skip = committed_pids(spark, index_dir) if resume else set()
+    if skip:
+        df = df.where(~F.col(PID_COL).isin(sorted(skip)))
+    if only_pids is not None:
+        df = df.where(F.col(PID_COL).isin(sorted(only_pids)))
+
+    shaped = (
+        df.repartition(cfg.n_partitions, F.col(PID_COL))
+        .sortWithinPartitions(PID_COL, *cfg.key_cols)
+    )
+    build_fn = _make_build_fn(cfg, index_dir, max_docs_per_segment)
+    manifest = shaped.mapInPandas(build_fn, schema=MANIFEST_SCHEMA)
+    manifest_rows = manifest.collect()  # small: one row per segment
+
+    # commit manifest (translog/commit-point analog) — append mode for resume
+    mpath = os.path.join(index_dir, "manifest")
+    if manifest_rows:
+        spark.createDataFrame(manifest_rows, schema=MANIFEST_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(mpath)
+
+    # global DFS statistics: one small groupBy over per-segment term stats
+    _write_global_stats(spark, index_dir, cfg)
+
+    man = spark.read.parquet(mpath)
+    agg = man.agg(
+        F.sum("docs_indexed").alias("docs"),
+        F.sum("sum_doc_len").alias("tokens"),
+        F.count("*").alias("segs"),
+    ).collect()[0]
+    return BuildResult(
+        index_dir=index_dir,
+        n_docs=agg["docs"] or 0,
+        total_tokens=agg["tokens"] or 0,
+        n_segments=agg["segs"],
+        n_partitions=cfg.n_partitions,
+    )
+
+
+def _write_global_stats(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> None:
+    segterms = spark.read.parquet(os.path.join(index_dir, "segterms"))
+    stats = (
+        segterms.groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("ttf").alias("ttf"),
+            F.max("max_tf").alias("max_tf"),
+        )
+        .sortWithinPartitions("term")  # row-group pruning on term lookups
+    )
+    tmp = os.path.join(index_dir, "termstats.tmp")
+    out = os.path.join(index_dir, "termstats")
+    stats.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.replace(tmp, out)
+
+    norms = spark.read.parquet(os.path.join(index_dir, "norms"))
+    g = norms.agg(
+        F.sum("n_docs").alias("n"), F.sum("sum_doc_len").alias("tok")
+    ).collect()[0]
+    n_docs = g["n"] or 0
+    total_tokens = g["tok"] or 0
+    meta = {
+        "n_docs": int(n_docs),
+        "total_tokens": int(total_tokens),
+        "avgdl": (total_tokens / n_docs) if n_docs else 1.0,
+        "config": asdict(cfg),
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, default=str)

@@ -1,0 +1,237 @@
+"""Aggregation operators (SURVEY.md §2.5).
+
+Reference execution model: per-shard partial aggregators + coordinator
+reduce (search/aggregations/AggregationPhase.java:79-126,
+SearchPhaseController.java:366-376) — exactly Spark's partial/final hash
+aggregation, so almost everything here is a groupBy().agg() built from
+JVM-side functions (whole-stage codegen, no Python).
+
+Sub-aggregation trees map to composed groupBys; `global` re-aggregates the
+unfiltered frame (GlobalAggregator.java does a second match_all pass).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _grouped(df: DataFrame, by: Sequence[str] | None):
+    return df.groupBy(*by) if by else df.groupBy()
+
+
+def stats(df: DataFrame, col: str, by: Sequence[str] | None = None) -> DataFrame:
+    """StatsAggegator.java (164 LoC): count,min,max,sum,avg."""
+    return _grouped(df, by).agg(
+        F.count(col).alias("count"),
+        F.min(col).alias("min"),
+        F.max(col).alias("max"),
+        F.sum(col).alias("sum"),
+        F.avg(col).alias("avg"),
+    )
+
+
+def extended_stats(df: DataFrame, col: str, by: Sequence[str] | None = None, sigma: float = 2.0) -> DataFrame:
+    """ExtendedStatsAggregator.java: + sum_of_squares, variance, std dev,
+    std-dev bounds (population moments, as the reference computes them)."""
+    base = _grouped(df, by).agg(
+        F.count(col).alias("count"),
+        F.min(col).alias("min"),
+        F.max(col).alias("max"),
+        F.sum(col).alias("sum"),
+        F.avg(col).alias("avg"),
+        F.sum(F.col(col) * F.col(col)).alias("sum_of_squares"),
+        F.var_pop(col).alias("variance"),
+        F.stddev_pop(col).alias("std_deviation"),
+    )
+    return base.withColumn(
+        "std_deviation_bounds_upper", F.col("avg") + sigma * F.col("std_deviation")
+    ).withColumn(
+        "std_deviation_bounds_lower", F.col("avg") - sigma * F.col("std_deviation")
+    )
+
+
+def value_count(df: DataFrame, col: str, by: Sequence[str] | None = None) -> DataFrame:
+    """ValueCountAggregator.java — count of values (nulls excluded)."""
+    return _grouped(df, by).agg(F.count(col).alias("value_count"))
+
+
+def cardinality(
+    df: DataFrame, col: str, by: Sequence[str] | None = None, exact: bool = False, rsd: float = 0.01
+) -> DataFrame:
+    """CardinalityAggregator.java — HyperLogLog++ (precision 14 default,
+    HyperLogLogPlusPlus.java:59). Spark's approx_count_distinct is also
+    HLL++; rsd 0.01 ≈ precision 14. exact=True swaps in countDistinct
+    (Spark can afford exactness; the reference cannot)."""
+    agg = (
+        F.countDistinct(col) if exact else F.approx_count_distinct(col, rsd)
+    ).alias("cardinality")
+    return _grouped(df, by).agg(agg)
+
+
+def percentiles(
+    df: DataFrame,
+    col: str,
+    percents: Sequence[float] = (1, 5, 25, 50, 75, 95, 99),
+    by: Sequence[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """PercentilesAggregator.java — T-Digest (compression 100) in the
+    reference. exact=True uses Spark's exact `percentile` (linear
+    interpolation — SQL-oracle comparable); exact=False uses
+    percentile_approx (GK sketch; values diverge slightly from T-Digest,
+    documented divergence per SURVEY.md §2.5)."""
+    fn = "percentile" if exact else "percentile_approx"
+    aggs = [
+        F.expr(f"{fn}({col}, {p / 100.0})").alias(f"p{str(p).replace('.', '_')}")
+        for p in percents
+    ]
+    return _grouped(df, by).agg(*aggs)
+
+
+def top_hits(
+    df: DataFrame,
+    by: Sequence[str],
+    order: Sequence[Column],
+    k: int = 3,
+) -> DataFrame:
+    """TopHitsAggregator.java — per-bucket top-k collector →
+    Window.partitionBy(bucket).orderBy(...) + row_number ≤ k."""
+    w = Window.partitionBy(*by).orderBy(*order)
+    return (
+        df.withColumn("hit_rank", F.row_number().over(w))
+        .where(F.col("hit_rank") <= k)
+    )
+
+
+def terms_agg(
+    df: DataFrame,
+    col: str,
+    size: int = 10,
+    order_by: str = "count",
+    ascending: bool = False,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """GlobalOrdinalsStringTermsAggregator.java — top-N buckets by count.
+
+    The reference approximates with per-shard `shard_size` queues and
+    reports doc_count_error (BucketUtils.java:37-48, InternalTerms.java:
+    90-106); Spark's full groupBy makes the result EXACT, so
+    doc_count_error_upper_bound is always 0 here. Ties break on the term
+    for determinism (InternalOrder tie-break analog)."""
+    agg = df.groupBy(col).agg(F.count(F.lit(1)).alias("doc_count"))
+    agg = agg.where(F.col("doc_count") >= min_doc_count)
+    if order_by == "count":
+        ordering = [
+            F.col("doc_count").asc() if ascending else F.col("doc_count").desc(),
+            F.col(col).asc(),
+        ]
+    else:  # _term
+        ordering = [F.col(col).asc() if ascending else F.col(col).desc()]
+    return agg.orderBy(*ordering).limit(size)
+
+
+def histogram(df: DataFrame, col: str, interval: float, by: Sequence[str] | None = None) -> DataFrame:
+    """HistogramAggregator.java — key = floor(value/interval)*interval."""
+    key = (F.floor(F.col(col) / interval) * interval).alias("key")
+    grp = [key, *(by or [])]
+    return df.groupBy(*grp).agg(F.count(F.lit(1)).alias("doc_count"))
+
+
+def date_histogram(df: DataFrame, ts_col: str, interval: str) -> DataFrame:
+    """Date variant with calendar intervals → date_trunc.
+
+    interval: 'year'|'quarter'|'month'|'week'|'day'|'hour'|'minute'."""
+    return (
+        df.groupBy(F.date_trunc(interval, F.col(ts_col)).alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+def range_agg(
+    df: DataFrame, col: str, ranges: Sequence[tuple], by: Sequence[str] | None = None
+) -> DataFrame:
+    """RangeAggregator.java — explicit [from, to) buckets; overlapping
+    ranges allowed (a doc may land in several → explode of matches)."""
+    buckets = []
+    for lo, hi in ranges:
+        label = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(col) < hi)
+        buckets.append(F.when(cond, F.lit(label)))
+    arr = F.array(*buckets)
+    exploded = df.withColumn("range_key", F.explode(arr)).where(
+        F.col("range_key").isNotNull()
+    )
+    grp = ["range_key", *(by or [])]
+    return exploded.groupBy(*grp).agg(F.count(F.lit(1)).alias("doc_count"))
+
+
+def filters_agg(df: DataFrame, named: Mapping[str, Column]) -> DataFrame:
+    """FiltersAggregator.java — one row per named predicate bucket."""
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(name) for name, cond in named.items()
+    ]
+    return df.agg(*aggs)
+
+
+def missing_agg(df: DataFrame, col: str) -> DataFrame:
+    """MissingAggregator.java — docs lacking the field."""
+    return df.where(F.col(col).isNull()).agg(F.count(F.lit(1)).alias("doc_count"))
+
+
+def global_agg(df_unfiltered: DataFrame, agg_fn) -> DataFrame:
+    """GlobalAggregator.java — escape the query filter: aggregate the
+    unfiltered frame (caller passes the pre-filter DataFrame)."""
+    return agg_fn(df_unfiltered)
+
+
+def significant_terms(
+    df: DataFrame,
+    col: str,
+    foreground: Column,
+    size: int = 10,
+    heuristic: str = "jlh",
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """GlobalOrdinalsSignificantTermsAggregator.java + heuristics
+    (bucket/significant/heuristics/JLHScore.java, ChiSquare.java,
+    MutualInformation.java, GND.java): terms over-represented in the
+    foreground (hits) vs the background (whole corpus).
+
+    JLH = (fg% - bg%) * (fg% / bg%); chi2 per ChiSquare.java with
+    include_negatives semantics simplified to the positive branch.
+    """
+    tot = df.agg(
+        F.count(F.lit(1)).alias("bg_total"),
+        F.sum(F.when(foreground, 1).otherwise(0)).alias("fg_total"),
+    )
+    counts = df.groupBy(col).agg(
+        F.count(F.lit(1)).alias("bg_count"),
+        F.sum(F.when(foreground, 1).otherwise(0)).alias("fg_count"),
+    )
+    j = counts.crossJoin(F.broadcast(tot)).where(
+        (F.col("fg_count") >= min_doc_count) & (F.col("bg_count") > 0)
+    )
+    fg_pct = F.col("fg_count") / F.col("fg_total")
+    bg_pct = F.col("bg_count") / F.col("bg_total")
+    if heuristic == "jlh":
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    elif heuristic == "chi_square":
+        score = F.pow(fg_pct - bg_pct, 2) / bg_pct
+    elif heuristic == "mutual_information":
+        score = fg_pct * F.log2(fg_pct / bg_pct)
+    else:
+        raise ValueError(f"unknown heuristic {heuristic}")
+    return (
+        j.withColumn("sig_score", score)
+        .where(F.col("sig_score") > 0)
+        .orderBy(F.col("sig_score").desc(), F.col(col).asc())
+        .limit(size)
+        .select(col, "fg_count", "bg_count", "sig_score")
+    )

@@ -1,0 +1,143 @@
+"""Filter operators — non-scoring predicates (SURVEY.md §2.2).
+
+Reference registrations: /root/reference/src/main/java/org/elasticsearch/
+indices/query/IndicesQueriesModule.java:118-148. ES filters are cached
+bitsets; in Spark they are Column predicates Catalyst pushes into the scan
+(the better analog of the filter cache is parquet row-group pruning).
+Boolean composition mirrors XBooleanFilter/AndFilter/OrFilter/NotFilter
+(common/lucene/search/XBooleanFilter.java:49 etc.).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def term(col: str, value) -> Column:
+    """TermFilterParser.java — exact value match, no analysis."""
+    return F.col(col) == F.lit(value)
+
+
+def terms(col: str, values: Iterable) -> Column:
+    """TermsFilterParser.java — OR of exact values."""
+    return F.col(col).isin(list(values))
+
+
+def range_(col: str, gte=None, gt=None, lte=None, lt=None) -> Column:
+    """RangeFilterParser.java — numeric/date/term range."""
+    cond = F.lit(True)
+    c = F.col(col)
+    if gte is not None:
+        cond = cond & (c >= gte)
+    if gt is not None:
+        cond = cond & (c > gt)
+    if lte is not None:
+        cond = cond & (c <= lte)
+    if lt is not None:
+        cond = cond & (c < lt)
+    return cond
+
+
+def exists(col: str) -> Column:
+    """ExistsFilterParser.java (via _field_names) — field has a value."""
+    return F.col(col).isNotNull()
+
+
+def missing(col: str) -> Column:
+    """MissingFilterParser.java — field has no value."""
+    return F.col(col).isNull()
+
+
+def ids(key_col: str, values: Sequence) -> Column:
+    """IdsQueryParser.java — by document id."""
+    return F.col(key_col).isin(list(values))
+
+
+def prefix(col: str, value: str) -> Column:
+    """PrefixQueryParser.java — term-dict prefix scan analog."""
+    return F.col(col).startswith(value)
+
+
+def wildcard(col: str, pattern: str) -> Column:
+    """WildcardQueryParser.java — `*` any, `?` single char."""
+    rx = "^" + re.escape(pattern).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+    return F.col(col).rlike(rx)
+
+
+def regexp(col: str, pattern: str) -> Column:
+    """RegexpQueryParser.java — anchored regex over the whole term."""
+    return F.col(col).rlike(f"^(?:{pattern})$")
+
+
+def bool_(
+    must: Sequence[Column] = (),
+    should: Sequence[Column] = (),
+    must_not: Sequence[Column] = (),
+    minimum_should_match: int = 1,
+) -> Column:
+    """BoolFilterParser.java — bitset intersect/union/negate.
+
+    should with minimum_should_match=m: at least m of the clauses hold
+    (sum of matched flags >= m, SURVEY.md §2.8).
+    """
+    cond = F.lit(True)
+    for c in must:
+        cond = cond & c
+    for c in must_not:
+        cond = cond & ~F.coalesce(c, F.lit(False))
+    if should:
+        flags = sum(
+            (F.when(F.coalesce(c, F.lit(False)), 1).otherwise(0) for c in should),
+            F.lit(0),
+        )
+        cond = cond & (flags >= minimum_should_match)
+    return cond
+
+
+def and_(*conds: Column) -> Column:
+    """AndFilterParser.java."""
+    out = F.lit(True)
+    for c in conds:
+        out = out & c
+    return out
+
+
+def or_(*conds: Column) -> Column:
+    """OrFilterParser.java."""
+    out = F.lit(False)
+    for c in conds:
+        out = out | c
+    return out
+
+
+def not_(cond: Column) -> Column:
+    """NotFilterParser.java — NULL predicate counts as non-match."""
+    return ~F.coalesce(cond, F.lit(False))
+
+
+def limit_per_partition(df: DataFrame, n: int) -> DataFrame:
+    """LimitFilterParser.java / terminate_after — early termination at n docs
+    per partition (mapInPandas early-exit; no shuffle)."""
+    import pandas as pd
+
+    def take(batches):
+        left = n
+        for b in batches:
+            if left <= 0:
+                break
+            out = b.iloc[:left]
+            left -= len(out)
+            yield out
+
+    return df.mapInPandas(take, df.schema)
+
+
+def fuzzy_terms(term_dict: DataFrame, term_col: str, query: str, fuzziness: int = 2) -> DataFrame:
+    """FuzzyQueryParser.java — Levenshtein expansion over the term dictionary
+    (the MultiTermQuery rewrite step, QueryParsers.java): returns matching
+    terms; caller unions their postings / uses isin."""
+    return term_dict.where(F.levenshtein(F.col(term_col), F.lit(query)) <= fuzziness)

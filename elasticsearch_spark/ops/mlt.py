@@ -1,0 +1,73 @@
+"""more_like_this / fuzzy_like_this / common-terms (SURVEY.md §2.3).
+
+Reference: index/query/MoreLikeThisQueryParser.java (307 LoC) +
+index/search/morelikethis/ — extract the top TF-IDF terms from sample text
+(or sample docs), then run them as a disjunctive query.
+CommonTermsQueryParser.java (229 LoC) — split query terms at a doc-frequency
+cutoff: low-freq terms are required (MUST), high-freq optional (SHOULD).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from elasticsearch_spark.analysis.analyzers import tokenize_text
+from elasticsearch_spark.index.reader import IndexReader
+
+
+def select_mlt_terms(
+    reader: IndexReader,
+    like_text: str,
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+    max_doc_freq: int | None = None,
+) -> list[str]:
+    """Top tf·idf terms of the sample text against the index statistics
+    (MoreLikeThis term selection)."""
+    tokens = tokenize_text(like_text, reader.cfg.analyzer)
+    tf = Counter(tokens)
+    cand = [t for t, c in tf.items() if c >= min_term_freq]
+    stats = reader.query_term_stats(cand)
+    n = reader.n_docs
+    scored = []
+    for t in cand:
+        df = stats.get(t, (0, 0))[0]
+        if df < min_doc_freq or (max_doc_freq and df > max_doc_freq) or df == 0:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        scored.append((tf[t] * idf, t))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    return [t for _, t in scored[:max_query_terms]]
+
+
+def more_like_this(
+    reader: IndexReader,
+    like_text: str,
+    k: int = 10,
+    max_query_terms: int = 25,
+    minimum_should_match: int = 1,
+):
+    """MLT = term selection + disjunctive BM25 top-k."""
+    from elasticsearch_spark.query.executor import search_topk
+
+    terms = select_mlt_terms(reader, like_text, max_query_terms)
+    return search_topk(
+        reader, " ".join(terms), k=k, minimum_should_match=minimum_should_match
+    )
+
+
+def common_terms_split(
+    reader: IndexReader, query_text: str, cutoff_frequency: float = 0.01
+) -> tuple[list[str], list[str]]:
+    """CommonTermsQuery: (low_freq MUST terms, high_freq SHOULD terms) split
+    by df/N cutoff using the global term-stats table."""
+    tokens = list(dict.fromkeys(tokenize_text(query_text, reader.cfg.analyzer)))
+    stats = reader.query_term_stats(tokens)
+    n = max(reader.n_docs, 1)
+    low, high = [], []
+    for t in tokens:
+        df = stats.get(t, (0, 0))[0]
+        (high if df / n > cutoff_frequency else low).append(t)
+    return low, high

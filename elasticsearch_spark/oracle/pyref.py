@@ -1,0 +1,133 @@
+"""Pure-Python reference engine — the rank-identity golden oracle.
+
+Plays the role of the reference's id-level rank assertions
+(/root/reference/src/test/java/org/elasticsearch/test/hamcrest/
+ElasticsearchAssertions.java:139-182): an independent, trivially-auditable
+implementation of Lucene 5 BM25 over an in-memory inverted index, with
+
+- the exact idf formula  ln(1 + (N - df + 0.5)/(df + 0.5))
+- tfNorm = tf*(k1+1) / (tf + k1*(1 - b + b*dl_eff/avgdl))
+- dl_eff = byte315-quantized doc length (SmallFloat round trip)
+- avgdl  = sumTotalTermFreq / docCount, GLOBAL (DFS) statistics
+  (search/dfs/DfsPhase.java:63-104 semantics — partition-invariant)
+- deterministic tie order (score DESC, key ASC)
+
+The Spark engine under test must match this rank-for-rank, scores to 1e-9
+relative (both compute in float64).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from typing import Any, Sequence
+
+import numpy as np
+
+from elasticsearch_spark.config import AnalyzerConfig, BM25Params
+from elasticsearch_spark.analysis.analyzers import tokenize_text
+from elasticsearch_spark.functions.smallfloat import effective_doc_length
+
+
+class PyRefEngine:
+    def __init__(
+        self,
+        analyzer: AnalyzerConfig | None = None,
+        bm25: BM25Params | None = None,
+    ) -> None:
+        self.analyzer = analyzer or AnalyzerConfig()
+        self.bm25 = bm25 or BM25Params()
+        self.postings: dict[str, dict[Any, int]] = defaultdict(dict)  # term -> key -> tf
+        self.doc_len: dict[Any, int] = {}
+        self.docs: dict[Any, dict] = {}
+        self.total_tokens = 0
+
+    # -- indexing ----------------------------------------------------------
+    def index(self, key: Any, text: str, **stored: Any) -> None:
+        toks = tokenize_text(text, self.analyzer)
+        if key in self.doc_len:  # upsert: remove old postings first
+            self.total_tokens -= self.doc_len[key]
+            for term_docs in self.postings.values():
+                term_docs.pop(key, None)
+        self.doc_len[key] = len(toks)
+        self.total_tokens += len(toks)
+        self.docs[key] = {"text": text, **stored}
+        for term, tf in Counter(toks).items():
+            self.postings[term][key] = tf
+
+    # -- stats --------------------------------------------------------------
+    @property
+    def n_docs(self) -> int:
+        return len(self.doc_len)
+
+    @property
+    def avgdl(self) -> float:
+        return self.total_tokens / self.n_docs if self.n_docs else 1.0
+
+    def idf(self, term: str) -> float:
+        df = len(self.postings.get(term, ()))
+        n = self.n_docs
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def _dl_eff(self, key: Any) -> float:
+        dl = self.doc_len[key]
+        return float(
+            effective_doc_length(np.array([dl]), quantize=self.bm25.quantize_norms)[0]
+        )
+
+    def term_score(self, term: str, key: Any) -> float:
+        tf = self.postings.get(term, {}).get(key, 0)
+        if tf == 0:
+            return 0.0
+        k1, b = self.bm25.k1, self.bm25.b
+        dl_eff = self._dl_eff(key)
+        tf_norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl_eff / self.avgdl))
+        return self.idf(term) * tf_norm
+
+    # -- queries -------------------------------------------------------------
+    def match(
+        self,
+        query_text: str,
+        k: int = 10,
+        operator: str = "or",
+        minimum_should_match: int = 1,
+        filter_fn=None,
+    ) -> list[tuple[Any, float]]:
+        """match query: analyze text, OR/AND of term queries, BM25 sum.
+
+        Reference: index/search/MatchQuery.java:167-230 (default OR /
+        Occur.SHOULD with minimum_should_match).
+        Returns [(key, score)] sorted (score DESC, key ASC), length ≤ k.
+        """
+        terms = tokenize_text(query_text, self.analyzer)
+        # dedup terms but keep multiplicity semantics? Lucene keeps duplicate
+        # terms as separate SHOULD clauses (score counted twice). Preserve that.
+        if not terms:
+            return []
+        candidates: dict[Any, tuple[float, int]] = {}
+        per_doc_terms: dict[Any, set] = defaultdict(set)
+        scores: dict[Any, float] = defaultdict(float)
+        for t in terms:
+            for key in self.postings.get(t, {}):
+                scores[key] += self.term_score(t, key)
+                per_doc_terms[key].add(t)
+        uniq_terms = set(terms)
+        need = len(uniq_terms) if operator == "and" else max(1, minimum_should_match)
+        hits = [
+            (key, s)
+            for key, s in scores.items()
+            if len(per_doc_terms[key]) >= need
+            and (filter_fn is None or filter_fn(self.docs[key]))
+        ]
+        hits.sort(key=lambda kv: (-kv[1], kv[0]))
+        return hits[:k]
+
+    def term_query(self, term: str, k: int = 10, filter_fn=None) -> list[tuple[Any, float]]:
+        """Single-term query, no analysis (TermQueryParser.java semantics)."""
+        hits = [
+            (key, self.term_score(term, key))
+            for key in self.postings.get(term, {})
+            if filter_fn is None or filter_fn(self.docs[key])
+        ]
+        hits.sort(key=lambda kv: (-kv[1], kv[0]))
+        return hits[:k]

@@ -1,0 +1,93 @@
+"""ANSI-SQL (DuckDB-runnable) oracle generator for BM25 top-k.
+
+Mirrors query/online.py exactly — same tokenizer (the SQL-expressible
+"simple" analyzer), same Lucene idf, same byte315 norm quantization (via a
+≤256-row inline range table from functions/smallfloat.py), same global-DFS
+statistics, same (rounded score DESC, key ASC) ordering. Used by
+__spark_entry__.oracle_sql() so the driver can verify the Spark engine
+against an independent SQL engine.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from elasticsearch_spark.functions.smallfloat import quantized_length_ranges
+
+SIMPLE_TOKEN_SQL = "[a-z0-9]+"
+
+
+def _ranges_cte(max_dl: int = 1 << 16) -> str:
+    rows = ",".join(
+        f"({lo},{hi},{eff!r})" for lo, hi, eff in quantized_length_ranges(max_dl)
+    )
+    return f"ranges(lo, hi, dl_eff) AS (VALUES {rows})"
+
+
+def bm25_topk_sql(
+    terms: Sequence[str],
+    table: str = "documents",
+    key: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    need: int = 1,
+    k1: float = 1.2,
+    b: float = 0.75,
+    quantize: bool = True,
+    filter_sql: str | None = None,
+    score_decimals: int = 4,
+) -> str:
+    """DuckDB SQL computing the same rows as bm25_topk_online(...)."""
+    terms_sql = ",".join("'" + t.replace("'", "''") + "'" for t in terms)
+    if quantize:
+        ranges = _ranges_cte() + ","
+        dle = (
+            f"dle AS (SELECT dl.{key}, COALESCE(r.dl_eff, 0.0) AS dl_eff "
+            f"FROM dl LEFT JOIN ranges r ON dl.doc_len BETWEEN r.lo AND r.hi),"
+        )
+    else:
+        ranges = ""
+        dle = f"dle AS (SELECT {key}, CAST(doc_len AS DOUBLE) AS dl_eff FROM dl),"
+    filt = (
+        f"AND p.{key} IN (SELECT {key} FROM {table} WHERE {filter_sql})"
+        if filter_sql
+        else ""
+    )
+    return f"""
+WITH toks AS (
+  SELECT {key}, regexp_extract_all(lower({text_col}), '{SIMPLE_TOKEN_SQL}') AS t
+  FROM {table}
+),
+dl AS (SELECT {key}, len(t) AS doc_len FROM toks),
+{ranges}
+{dle}
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+hits AS (
+  SELECT {key}, term, count(*) AS tf
+  FROM (SELECT {key}, unnest(t) AS term FROM toks)
+  WHERE term IN ({terms_sql})
+  GROUP BY {key}, term
+),
+tstats AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+scored AS (
+  SELECT h.{key},
+         ln(1.0 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (h.tf * {k1 + 1.0})
+           / (h.tf + {k1} * (1.0 - {b} + {b} * e.dl_eff / s.avgdl)) AS tsc
+  FROM hits h
+  JOIN tstats ts USING (term)
+  JOIN dle e USING ({key})
+  CROSS JOIN stats s
+),
+perdoc AS (
+  SELECT {key}, sum(tsc) AS raw, count(*) AS nt FROM scored GROUP BY {key}
+)
+SELECT p.{key} AS {key}, round(p.raw, {score_decimals}) AS score
+FROM perdoc p
+WHERE p.nt >= {need} {filt}
+ORDER BY round(p.raw, {score_decimals}) DESC, p.{key} ASC
+LIMIT {k}
+""".strip()

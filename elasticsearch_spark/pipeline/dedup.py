@@ -1,0 +1,308 @@
+"""Deduplication operators for document corpora.
+
+All deterministic (seeded hash families via xxhash64 with fixed salts) and
+shuffle-conscious:
+
+- exact:     one hash-groupBy on a 64-bit text hash (not the raw text — at
+             100 TB the shuffle carries 8-byte keys, not documents).
+- minhash:   shingle → k minhashes (one explode + groupBy-min) → LSH bands →
+             candidate pairs via band-bucket self-join → verified Jaccard.
+- simhash:   64-bit signature from token-hash bit votes; near-dups = equal
+             signatures on rotated bands (Hamming ≤ r by pigeonhole).
+- ngram jaccard: exact pairwise verification operator for candidate pairs.
+- embedding: cosine near-dup via normalized-vector rounding buckets.
+
+Scale note: every candidate-generation step is a hash shuffle on small
+fixed-width keys; verification joins only touch candidate pairs — the
+classic MinHash/LSH contract (Broder 1997; Leskovec et al., MMDS ch.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """Exact duplicate removal: keep the smallest key per identical text.
+
+    Dedup key is xxhash64(text) — constant-width shuffle keys; collisions
+    are broken by grouping on the hash and verifying equality via first()
+    semantics within the window (hash collision across different texts is
+    ~2^-64 per pair; acceptable and documented)."""
+    w = Window.partitionBy(F.xxhash64(F.col(text_col))).orderBy(F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """Groups of exact duplicates: (text_hash, n_dups, keep_key, dup_keys)."""
+    return (
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(key_col).alias("keep_key"),
+            F.sort_array(F.collect_list(key_col)).alias("dup_keys"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def _shingles(text_col: str, n: int) -> "F.Column":
+    """Character n-gram shingles of the lowercased text (distinct)."""
+    # sequence of start offsets -> substrings; JVM-side, no Python
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(lower({text_col})) - {n} + 1, 1)),"
+            f" i -> substring(lower({text_col}), i, {n}))"
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    num_hashes: int = 32,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """(key, [minhash_0..minhash_{k-1}]) via k seeded xxhash64 functions.
+
+    One explode + one groupBy; the k min-aggregations are columnar."""
+    sh = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(_shingles(text_col, shingle_size)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("key").agg(*aggs)
+    return sig.select(
+        "key", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("minhash")
+    )
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: equal band-hash ⇒ candidate pair (a < b)."""
+    banded = sig.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("key", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.key") < F.col("r.key")),
+        )
+        .select(F.col("l.key").alias("key_a"), F.col("r.key").alias("key_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(sig: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing minhashes per pair."""
+    a = sig.select(F.col("key").alias("key_a"), F.col("minhash").alias("mh_a"))
+    b = sig.select(F.col("key").alias("key_b"), F.col("minhash").alias("mh_b"))
+    return (
+        pairs.join(a, "key_a")
+        .join(b, "key_b")
+        .withColumn(
+            "jaccard_est",
+            F.expr(
+                "size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))"
+                " / cast(size(mh_a) as double)"
+            ),
+        )
+        .select("key_a", "key_b", "jaccard_est")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    pairs: DataFrame,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard for candidate pairs (verification)."""
+    sh = df.select(
+        F.col(key_col).alias("key"), _shingles(text_col, shingle_size).alias("sh")
+    )
+    a = sh.select(F.col("key").alias("key_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("key").alias("key_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "key_a")
+        .join(b, "key_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .select("key_a", "key_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → exact-Jaccard
+    verification ≥ threshold → drop the larger key of each dup pair."""
+    sig = minhash_signatures(df, text_col, key_col, num_hashes, shingle_size)
+    cand = minhash_lsh_candidates(sig, bands, num_hashes // bands)
+    verified = ngram_jaccard_pairs(df, text_col, key_col, cand, shingle_size).where(
+        F.col("jaccard") >= threshold
+    )
+    losers = verified.select(F.col("key_b").alias(key_col)).distinct()
+    return df.join(losers, key_col, "left_anti")
+
+
+def simhash_signatures(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """64-bit SimHash (Charikar 2002) over whitespace tokens, JVM-side:
+    per bit b, sign of Σ_tokens (bit_b(xxhash64(token)) ? +1 : -1)."""
+    toks = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = toks.withColumn("th", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(th >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = h.groupBy("key").agg(*votes)
+    bit_expr = " + ".join(
+        f"(case when v{b} > 0 then {1 << b if b < 63 else -(1 << 63)}L else 0L end)"
+        for b in range(64)
+    )
+    return agg.select("key", F.expr(bit_expr).alias("simhash"))
+
+
+def simhash_near_dups(sig: DataFrame, hamming_radius: int = 3, tables: int = 4) -> DataFrame:
+    """Near-dup candidates with Hamming distance ≤ radius via band rotation
+    (pigeonhole: r<tables bit flips leave ≥1 of `tables` bands intact),
+    then exact Hamming verification via bit_count(xor)."""
+    width = 64 // tables
+    banded = sig.select(
+        "key",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.expr(
+                            f"(simhash >> {t * width}) & {(1 << width) - 1}"
+                        ).alias("band"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("bb"),
+    ).select("key", "simhash", "bb.tbl", "bb.band")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") < F.col("r.key")),
+        )
+        .select(
+            F.col("l.key").alias("key_a"),
+            F.col("r.key").alias("key_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .where(F.col("hamming") <= hamming_radius)
+        .select("key_a", "key_b", "hamming")
+    )
+
+
+def embedding_cosine_dups(
+    emb: DataFrame,
+    vec_col: str,
+    key_col: str,
+    threshold: float = 0.95,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Embedding near-dup: random-hyperplane LSH buckets (deterministic
+    seeded planes via xxhash of index), verify cosine ≥ threshold.
+
+    Planes are pseudo-random ±1 component vectors derived from
+    xxhash64(dim_index, plane_seed) — deterministic, no driver-side RNG."""
+    dims = F.size(F.col(vec_col))
+    norm = F.sqrt(
+        F.expr(f"aggregate({vec_col}, cast(0.0 as double), (a, x) -> a + x * x)")
+    )
+    normed = emb.select(
+        F.col(key_col).alias("key"),
+        F.expr(f"transform({vec_col}, x -> x / "
+               f"sqrt(aggregate({vec_col}, cast(0.0 as double), (a, y) -> a + y * y)))"
+               ).alias("v"),
+    )
+    # plane p: sign of Σ_i v[i] * s(i, p), s = ±1 from hash parity
+    bits = []
+    for p in range(bucket_bits):
+        dot = F.expr(
+            "aggregate(zip_with(v, sequence(0, size(v) - 1),"
+            f" (x, i) -> x * (cast((xxhash64(i, {p}) & 1) * 2 - 1 as double))),"
+            " cast(0.0 as double), (a, x) -> a + x)"
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    sig = normed.withColumn("bucket", bucket)
+    l, r = sig.alias("l"), sig.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.key") < F.col("r.key")),
+    ).select(
+        F.col("l.key").alias("key_a"),
+        F.col("r.key").alias("key_b"),
+        F.col("l.v").alias("va"),
+        F.col("r.v").alias("vb"),
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            F.expr(
+                "aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                " cast(0.0 as double), (a, x) -> a + x)"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("key_a", "key_b", "cosine")
+    )

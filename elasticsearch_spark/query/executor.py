@@ -1,0 +1,301 @@
+"""BM25 top-k execution over the segmented inverted index.
+
+Spark shape of the reference's QUERY_THEN_FETCH with DFS statistics
+(SURVEY.md §3.1):
+
+  scatter  = cogrouped applyInPandas over (postings ⋈ term filter) grouped by
+             segment — each group scores its segment with vectorized numpy,
+             applying block-max pruning and per-segment top-k (the per-shard
+             priority queue, search/query/QueryPhase.java:107-155);
+  gather   = global orderBy(score DESC, key ASC).limit(k) — the TopDocs.merge
+             analog with deterministic tie order
+             (search/controller/SearchPhaseController.java:144-234);
+  fetch    = broadcast join of the k winners back to the doc table
+             (search/fetch/FetchPhase.java:103-157).
+
+Scale notes: postings are pruned by ``term IN (...)`` predicate pushdown
+(row-group stats; postings files are term-sorted), per-segment norm arrays
+travel as one packed row each, and only ≤ k rows per segment reach the
+gather. Filters are evaluated by Catalyst on the doc table (columnar,
+predicate pushdown) and enter the scorer as packed allowed-doc-id sets.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.analysis.analyzers import tokenize_text
+from elasticsearch_spark.index.codec import delta_decode, unpack_u32
+from elasticsearch_spark.functions.smallfloat import effective_doc_length
+from elasticsearch_spark.index.reader import IndexReader
+
+
+def lucene_idf(n_docs: int, df: int) -> float:
+    """ln(1 + (N - df + 0.5)/(df + 0.5)) — Lucene 5 BM25 idf."""
+    return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+def _decode_term(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the blocks of one term (rows pre-sorted) → (doc_ids, tfs)."""
+    docs_parts, tf_parts = [], []
+    for nd, db, tb in zip(g["n_docs"], g["docs_packed"], g["tfs_packed"]):
+        docs_parts.append(delta_decode(unpack_u32(db, nd)))
+        tf_parts.append(unpack_u32(tb, nd))
+    return (
+        np.concatenate(docs_parts).astype(np.int64),
+        np.concatenate(tf_parts).astype(np.float64),
+    )
+
+
+def _segment_scorer(
+    term_weights: dict[str, float],
+    need: int,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    use_pruning: bool,
+    quantize: bool,
+):
+    """Build the vectorized per-segment scoring function.
+
+    Block-max pruning (vectorized variant of Block-Max WAND, Ding & Suel
+    2011, SIGIR): cut the local docID axis at every posting-block boundary;
+    within an elementary interval each term has at most one covering block,
+    so bound(I) = Σ_t ub(block_t(I)) upper-bounds any doc's total score in I.
+    θ = kth best exact score of the cheapest term gives a valid lower bound;
+    intervals with bound < θ are skipped — blocks no surviving interval
+    touches are never decoded. Results are identical to dense scoring
+    (asserted in tests/test_search_engine.py).
+    """
+    terms = list(term_weights)
+
+    def score_fn(post: pd.DataFrame, aux: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "local_doc_id": pd.Series([], dtype="int32"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        if post.empty or aux.empty:
+            return empty
+        n_docs = int(aux["n_docs"].iloc[0])
+        doc_lens = np.frombuffer(aux["doc_len_packed"].iloc[0], dtype=np.uint32)
+        dl_eff = effective_doc_length(doc_lens, quantize=quantize)
+        allowed = None
+        if "allowed_packed" in aux.columns:
+            allowed_ids = np.frombuffer(
+                aux["allowed_packed"].iloc[0], dtype=np.uint32
+            ).astype(np.int64)
+            allowed = np.zeros(n_docs, dtype=bool)
+            allowed[allowed_ids] = True
+
+        c0 = k1 * (1.0 - b)  # norm constant part
+        c1 = k1 * b / avgdl  # norm length coefficient
+
+        post = post.sort_values(["term", "first_doc"])
+        by_term = {t: g for t, g in post.groupby("term", sort=False)}
+        present = [t for t in terms if t in by_term]
+        if not present:
+            return empty
+
+        keep_blocks: dict[str, np.ndarray] | None = None
+        if use_pruning and need <= 1 and len(present) > 1:
+            keep_blocks = _prune_blocks(
+                by_term, present, term_weights, dl_eff, allowed, k, c0, c1, k1
+            )
+
+        score = np.zeros(n_docs, dtype=np.float64)
+        nmatch = np.zeros(n_docs, dtype=np.int32)
+        for t in present:
+            g = by_term[t]
+            if keep_blocks is not None:
+                g = g.iloc[keep_blocks[t]]
+                if g.empty:
+                    continue
+            docs, tfs = _decode_term(g)
+            tfn = (tfs * (k1 + 1.0)) / (tfs + c0 + c1 * dl_eff[docs])
+            score[docs] += term_weights[t] * tfn
+            nmatch[docs] += 1
+
+        mask = nmatch >= need
+        if allowed is not None:
+            mask &= allowed
+        cand = np.flatnonzero(mask)
+        if cand.size == 0:
+            return empty
+        cscores = score[cand]
+        if cand.size > k:
+            # tie-aware top-k: keep everything above the kth score plus ALL
+            # docs tied at it — the global gather breaks ties on the real
+            # key columns (merged segments interleave key order, so a
+            # local-id cut inside the tie group would be unsound)
+            part = np.argpartition(-cscores, k - 1)
+            theta = cscores[part[k - 1]]
+            sel = cscores >= theta
+            cand, cscores = cand[sel], cscores[sel]
+        order = np.lexsort((cand, -cscores))
+        cand, cscores = cand[order], cscores[order]
+        return pd.DataFrame({"local_doc_id": cand.astype(np.int32), "score": cscores})
+
+    return score_fn
+
+
+def _prune_blocks(
+    by_term: dict[str, pd.DataFrame],
+    present: list[str],
+    weights: dict[str, float],
+    dl_eff: np.ndarray,
+    allowed: np.ndarray | None,
+    k: int,
+    c0: float,
+    c1: float,
+    k1: float,
+) -> dict[str, np.ndarray]:
+    """Interval block-max pruning; returns surviving block positions per term."""
+    ranges: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for t in present:
+        g = by_term[t]
+        first = g["first_doc"].to_numpy(np.int64)
+        last = g["last_doc"].to_numpy(np.int64)
+        max_tf = g["max_tf"].to_numpy(np.float64)
+        min_dl = g["min_dl_eff"].to_numpy(np.float64)
+        ub = weights[t] * (max_tf * (k1 + 1.0)) / (max_tf + c0 + c1 * min_dl)
+        ranges[t] = (first, last, ub)
+
+    # θ: exact kth-best single-term lower bound from the cheapest term
+    seed = min(present, key=lambda t: len(by_term[t]))
+    sdocs, stfs = _decode_term(by_term[seed])
+    s_scores = weights[seed] * (stfs * (k1 + 1.0)) / (
+        stfs + c0 + c1 * dl_eff[sdocs]
+    )
+    if allowed is not None:
+        s_scores = s_scores[allowed[sdocs]]
+    theta = float(np.partition(s_scores, -k)[-k]) if len(s_scores) > k else 0.0
+
+    keep: dict[str, np.ndarray] = {}
+    if theta <= 0.0:
+        for t in present:
+            keep[t] = np.arange(len(ranges[t][0]))
+        return keep
+
+    cuts = np.unique(
+        np.concatenate([np.concatenate([r[0], r[1] + 1]) for r in ranges.values()])
+    )
+    iv_starts = cuts[:-1]
+    n_iv = len(iv_starts)
+    bound = np.zeros(n_iv, dtype=np.float64)
+    cover: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t in present:
+        first, last, ub = ranges[t]
+        bi = np.searchsorted(first, iv_starts, side="right") - 1
+        bic = np.clip(bi, 0, None)
+        valid = (bi >= 0) & (iv_starts <= last[bic])
+        bound += np.where(valid, ub[bic], 0.0)
+        cover[t] = (bic, valid)
+    alive = bound >= theta
+    for t in present:
+        bic, valid = cover[t]
+        keep[t] = np.unique(bic[valid & alive])
+    return keep
+
+
+def search_topk(
+    reader: IndexReader,
+    query_text: str,
+    k: int = 10,
+    operator: str = "or",
+    minimum_should_match: int = 1,
+    filter_cond: Column | None = None,
+    use_pruning: bool = True,
+    extra_cols: Iterable[str] = (),
+) -> DataFrame:
+    """match-query top-k: analyze text → BM25 union/intersection → top-k.
+
+    Reference semantics: index/search/MatchQuery.java:167-230 (OR default,
+    minimum_should_match, AND operator); BM25 with global DFS stats; filters
+    are non-scoring (filter context). Returns ≤ k rows
+    (key_cols..., extra_cols..., score) in (score DESC, key ASC) order.
+    """
+    cfg = reader.cfg
+    key_cols = list(cfg.key_cols)
+
+    tokens = tokenize_text(query_text, cfg.analyzer)
+    if not tokens:
+        return _empty_result(reader, extra_cols)
+
+    stats = reader.query_term_stats(tokens)
+    uniq = list(dict.fromkeys(tokens))
+    present = [t for t in uniq if stats.get(t, (0, 0))[0] > 0]
+    need = len(uniq) if operator == "and" else max(1, minimum_should_match)
+    if operator == "and" and len(present) < len(uniq):
+        return _empty_result(reader, extra_cols)
+    if not present:
+        return _empty_result(reader, extra_cols)
+
+    n = reader.n_docs
+    weights = {
+        t: tokens.count(t) * lucene_idf(n, stats[t][0]) for t in present
+    }
+
+    postings = reader.postings().where(F.col("term").isin(present))
+    aux = reader.norms().select("segment_id", "n_docs", "doc_len_packed")
+    if filter_cond is not None:
+        def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = np.sort(pdf["local_doc_id"].to_numpy(np.uint32))
+            return pd.DataFrame(
+                {
+                    "segment_id": [pdf["segment_id"].iloc[0]],
+                    "allowed_packed": [ids.tobytes()],
+                }
+            )
+
+        allowed_packed = (
+            reader.docs()
+            .where(filter_cond)
+            .select("segment_id", "local_doc_id")
+            .groupBy("segment_id")
+            .applyInPandas(_pack, "segment_id string, allowed_packed binary")
+        )
+        aux = aux.join(allowed_packed, "segment_id", "inner")
+
+    score_fn = _segment_scorer(
+        weights, need, k, cfg.bm25.k1, cfg.bm25.b, reader.avgdl, use_pruning,
+        cfg.bm25.quantize_norms,
+    )
+
+    def cogroup_fn(key, post: pd.DataFrame, aux_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = score_fn(post, aux_pdf)
+        out["segment_id"] = key[0]
+        return out
+
+    cand = (
+        postings.groupBy("segment_id")
+        .cogroup(aux.groupBy("segment_id"))
+        .applyInPandas(cogroup_fn, "local_doc_id int, score double, segment_id string")
+    )
+
+    fetch_cols = ["segment_id", "local_doc_id", *key_cols, *extra_cols]
+    return (
+        reader.docs()
+        .select(*fetch_cols)
+        .join(F.broadcast(cand), ["segment_id", "local_doc_id"])
+        .select(*key_cols, *extra_cols, "score")
+        .orderBy(F.col("score").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(k)
+    )
+
+
+def _empty_result(reader: IndexReader, extra_cols: Iterable[str]) -> DataFrame:
+    cols = [*reader.cfg.key_cols, *extra_cols]
+    return (
+        reader.docs()
+        .select(*cols)
+        .withColumn("score", F.lit(0.0))
+        .where(F.lit(False))
+    )

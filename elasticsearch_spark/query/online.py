@@ -1,0 +1,135 @@
+"""Index-free BM25 top-k as a pure Catalyst DataFrame program.
+
+Same scoring semantics as the indexed path (Lucene BM25, global DFS stats,
+byte315 norm quantization) expressed entirely with built-in Spark SQL
+expressions — tokenize (regexp), explode, two hash aggregations, one
+broadcast join of per-term stats, top-k sort. Used for:
+
+- cross-checking the segmented index engine (tests assert identical output);
+- the DuckDB-oracle parity path in __spark_entry__ (the whole plan is
+  ANSI-SQL-expressible when the analyzer is "simple"/"whitespace");
+- ad-hoc scoring of small/ephemeral tables where building an index is not
+  worth it (the reference has no such mode; Catalyst gives it for free).
+
+The quantization joins a ≤256-row broadcast range table — no UDF at all for
+SQL-expressible analyzers; "standard" swaps in the Arrow-batched tokenizer.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.analysis.analyzers import tokenize_column, tokenize_text
+from elasticsearch_spark.config import AnalyzerConfig, BM25Params
+from elasticsearch_spark.functions.smallfloat import quantized_length_ranges
+
+MAX_DL = 1 << 16
+
+
+def _dl_eff_col(spark: SparkSession, df: DataFrame, quantize: bool) -> DataFrame:
+    """Attach dl_eff via a broadcast join with the byte315 range table."""
+    if not quantize:
+        return df.withColumn("dl_eff", F.col("doc_len").cast("double"))
+    ranges = spark.createDataFrame(
+        quantized_length_ranges(MAX_DL), "lo long, hi long, dl_eff double"
+    )
+    joined = df.join(
+        F.broadcast(ranges),
+        (F.col("doc_len") >= F.col("lo")) & (F.col("doc_len") <= F.col("hi")),
+        "left",
+    ).drop("lo", "hi")
+    return joined.withColumn("dl_eff", F.coalesce(F.col("dl_eff"), F.lit(0.0)))
+
+
+def bm25_topk_online(
+    spark: SparkSession,
+    df: DataFrame,
+    query_text: str,
+    key_cols: Sequence[str],
+    text_col: str = "text",
+    k: int = 10,
+    operator: str = "or",
+    minimum_should_match: int = 1,
+    analyzer: AnalyzerConfig | None = None,
+    bm25: BM25Params | None = None,
+    filter_cond: Column | None = None,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """match-query BM25 top-k straight off the source table.
+
+    Statistics (N, avgdl, per-term df) are computed over the FULL corpus;
+    ``filter_cond`` only restricts the hit set (ES filter context — filters
+    never change scoring statistics).
+    Output: (*key_cols, score) ordered (score DESC, keys ASC), ≤ k rows.
+    """
+    analyzer = analyzer or AnalyzerConfig()
+    bm25 = bm25 or BM25Params()
+    keys = list(key_cols)
+
+    q_tokens = tokenize_text(query_text, analyzer)
+    uniq_terms = list(dict.fromkeys(q_tokens))
+    if not uniq_terms:
+        return df.select(*keys).withColumn("score", F.lit(0.0)).where(F.lit(False))
+    need = len(uniq_terms) if operator == "and" else max(1, minimum_should_match)
+    mult = {t: q_tokens.count(t) for t in uniq_terms}
+
+    toks = df.select(*keys, tokenize_column(text_col, analyzer).alias("toks"))
+    docs = toks.withColumn("doc_len", F.size("toks"))
+    docs = _dl_eff_col(spark, docs, bm25.quantize_norms)
+
+    # global stats — one tiny aggregate row, broadcast via crossJoin
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_len").alias("total_tokens"),
+    ).withColumn("avgdl", F.col("total_tokens") / F.col("n_docs"))
+
+    hits = (
+        docs.select(*keys, "dl_eff", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(uniq_terms))
+        .groupBy(*keys, "dl_eff", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    termstats = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    mult_df = spark.createDataFrame(
+        [(t, float(m)) for t, m in mult.items()], "term string, mult double"
+    )
+    scored = (
+        hits.join(F.broadcast(termstats), "term")
+        .join(F.broadcast(mult_df), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("mult")
+            * F.col("idf")
+            * (F.col("tf") * (bm25.k1 + 1.0))
+            / (
+                F.col("tf")
+                + bm25.k1
+                * (1.0 - bm25.b + bm25.b * F.col("dl_eff") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(*keys).agg(
+        F.sum("term_score").alias("score"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    result = per_doc.where(F.col("n_terms_matched") >= need).drop("n_terms_matched")
+    if filter_cond is not None:
+        keyed = df.where(filter_cond).select(*keys).distinct()
+        result = result.join(keyed, keys, "left_semi")
+    if score_decimals is not None:
+        result = result.withColumn("score", F.round("score", score_decimals))
+    return result.orderBy(
+        F.col("score").desc(), *[F.col(c).asc() for c in keys]
+    ).limit(k)
