@@ -1,0 +1,187 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Measures, at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32):
+
+  1. index-build throughput (turns/sec) over a deterministic synthetic
+     transcript table of the BASELINE.json input_hint shape
+     (conv_id, turn_idx, role, text, tool, ts) — the north-rule headline;
+  2. BM25 top-k latency over the built index for the reference query set
+     (per-query seconds + p50/p95 aggregate);
+  3. a spread of non-fulltext headline operators (agg / join / dedup / ANN)
+     on the driver-generated parquet tables.
+
+Output: {"metric": "...", "value": <total sec>, "unit": "sec",
+         "queries": {...}, "sf": ..., plus build/query aggregates}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from elasticsearch_spark.config import AnalyzerConfig, IndexConfig  # noqa: E402
+from elasticsearch_spark.fixtures.transcripts import (  # noqa: E402
+    generate_transcripts,
+    reference_query_set,
+)
+from elasticsearch_spark.index import IndexReader, build_index  # noqa: E402
+from elasticsearch_spark.ops import filters  # noqa: E402
+from elasticsearch_spark.pipeline import dedup, similarity  # noqa: E402
+from elasticsearch_spark.query.executor import search_topk  # noqa: E402
+from elasticsearch_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# transcripts corpus size ~ 20x n_convs turns; sf0.1 -> ~64k turns
+N_CONVS = int(os.environ.get("SPARK_GRAFT_NCONVS", "3000"))
+WORK_DIR = os.environ.get("SPARK_GRAFT_WORK", "/tmp/es_spark_bench")
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _t(spark, name):
+    return spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet"))
+
+
+def _filters_cond(f: dict):
+    conds = []
+    if "role" in f:
+        conds.append(filters.term("role", f["role"]))
+    if "tool" in f:
+        conds.append(filters.term("tool", f["tool"]))
+    if "ts_min" in f:
+        conds.append(F.col("ts") >= F.lit(f["ts_min"]))
+    if not conds:
+        return None
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def main() -> None:
+    t_suite0 = time.perf_counter()
+    spark = get_spark(cores=CPUS, shuffle_partitions=CPUS, app_name="es_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    # ---- 1. index build over synthetic transcripts (north-rule headline) ----
+    shutil.rmtree(WORK_DIR, ignore_errors=True)
+    idx_dir = os.path.join(WORK_DIR, "transcripts_idx")
+    pdf = generate_transcripts(n_convs=N_CONVS, seed=42)
+    turns = spark.createDataFrame(pdf).cache()
+    n_turns = turns.count()  # materialize before timing the build
+
+    cfg = IndexConfig(
+        text_col="text",
+        key_cols=("conv_id", "turn_idx"),
+        stored_cols=("role", "tool", "ts"),
+        analyzer=AnalyzerConfig(kind="standard"),
+        n_partitions=CPUS,
+        dedup_latest_by="ts",
+    )
+    t0 = time.perf_counter()
+    res = build_index(spark, turns, idx_dir, cfg)
+    build_sec = time.perf_counter() - t0
+    timings["index_build"] = round(build_sec, 3)
+    turns_per_sec = n_turns / build_sec
+
+    # ---- 2. BM25 reference query set over the index ----
+    reader = IndexReader(spark, idx_dir)
+    q_secs: list[float] = []
+    for q in reference_query_set():
+        t0 = time.perf_counter()
+        search_topk(
+            reader,
+            q["query_text"],
+            k=q["k"],
+            operator=q["operator"],
+            minimum_should_match=q["minimum_should_match"],
+            filter_cond=_filters_cond(q["filters"]),
+        ).collect()
+        q_secs.append(time.perf_counter() - t0)
+    timings["bm25_query_set"] = round(float(np.sum(q_secs)), 3)
+    q_p50 = float(np.percentile(q_secs, 50))
+    q_p95 = float(np.percentile(q_secs, 95))
+
+    # ---- 3. non-fulltext headline operators on the sf tables ----
+    def bench(name, fn, n=1):
+        best = None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    li = _t(spark, "lineitem")
+    orders = _t(spark, "orders")
+    docs = _t(spark, "documents")
+    emb = _t(spark, "embeddings")
+
+    bench(
+        "agg_stats_lineitem",
+        lambda: li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect(),
+    )
+    bench(
+        "join_orders_lineitem",
+        lambda: li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect(),
+    )
+    bench(
+        "dedup_minhash",
+        lambda: dedup.minhash_dedup(docs, "text", "doc_id", threshold=0.8).count(),
+    )
+    qvec = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    bench(
+        "ann_cosine_topk",
+        lambda: similarity.cosine_topk(emb, "embedding", "vec_id", qvec, k=10).collect(),
+    )
+
+    total = time.perf_counter() - t_suite0
+    print(
+        json.dumps(
+            {
+                "metric": "es_spark_bench_suite",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+                "cpus": CPUS,
+                "build_turns": int(n_turns),
+                "build_turns_per_sec": round(turns_per_sec, 1),
+                "build_segments": res.n_segments,
+                "bm25_n_queries": len(q_secs),
+                "bm25_p50_sec": round(q_p50, 4),
+                "bm25_p95_sec": round(q_p95, 4),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -194,8 +194,8 @@ register(
 
 register(
     "filter_exists_missing",
-    "SELECT sum(CASE WHEN nullif(source, 'src0') IS NOT NULL THEN 1 ELSE 0 END) AS n_exists, "
-    "sum(CASE WHEN nullif(source, 'src0') IS NULL THEN 1 ELSE 0 END) AS n_missing "
+    "SELECT CAST(sum(CASE WHEN nullif(source, 'src0') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exists, "
+    "CAST(sum(CASE WHEN nullif(source, 'src0') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing "
     "FROM documents",
 )(
     lambda spark, sf: _t(spark, sf, "documents")
@@ -323,9 +323,9 @@ register(
 
 register(
     "agg_filters",
-    "SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors, "
-    "sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS big, "
-    "sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS even_users FROM events",
+    "SELECT CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors, "
+    "CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS big, "
+    "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS even_users FROM events",
 )(
     lambda spark, sf: aggs.filters_agg(
         _t(spark, sf, "events"),
@@ -364,7 +364,7 @@ WITH tot AS (
   FROM documents
 ), counts AS (
   SELECT lang, count(*) AS bg_count,
-         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS fg_count
+         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS fg_count
   FROM documents GROUP BY lang
 )
 SELECT lang, fg_count, bg_count,
