@@ -102,7 +102,7 @@ def main() -> None:
     turns_per_sec = n_turns / build_sec
 
     # ---- 2. BM25 reference query set over the index ----
-    reader = IndexReader(spark, idx_dir)
+    reader = IndexReader(spark, idx_dir).cache_views()
     q_secs: list[float] = []
     for q in reference_query_set():
         t0 = time.perf_counter()

@@ -117,7 +117,7 @@ def _indexed_reader(spark: SparkSession, sf_dir: str):
             )
             build_index(spark, _t(spark, sf_dir, "documents"), idx_dir, cfg)
         _INDEX_CACHE[key] = idx_dir
-    return IndexReader(spark, _INDEX_CACHE[key])
+    return IndexReader(spark, _INDEX_CACHE[key]).cache_views()
 
 
 def _indexed(spark, sf_dir, text, k=10, **kw):

@@ -32,7 +32,23 @@ class IndexReader:
         return self.meta["avgdl"]
 
     def _read(self, sub: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, sub))
+        # memoize the lazy view: repeated queries reuse one analyzed plan
+        # (and its parquet footer/file-listing work) instead of re-listing
+        if not hasattr(self, "_views"):
+            self._views: dict[str, DataFrame] = {}
+        if sub not in self._views:
+            self._views[sub] = self.spark.read.parquet(
+                os.path.join(self.index_dir, sub)
+            )
+        return self._views[sub]
+
+    def cache_views(self) -> "IndexReader":
+        """Pin the hot search structures in executor memory — the analog of
+        the reference's filesystem/fielddata caches (index/cache/). Call once
+        before a query burst; no-op on re-call."""
+        for sub in ("postings", "docs", "norms", "termstats"):
+            self._read(sub).cache()
+        return self
 
     def postings(self) -> DataFrame:
         return self._read("postings")
@@ -50,16 +66,39 @@ class IndexReader:
         return self._read("manifest")
 
     def query_term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """df/ttf for the query terms only (tiny collect — the DFS-phase
-        analog, search/dfs/DfsPhase.java:63-104)."""
+        """df/ttf for the query terms only — the DFS-phase analog
+        (search/dfs/DfsPhase.java:63-104, aggregated coordinator-side like
+        SearchPhaseController.aggregateDfs:86-134).
+
+        Read driver-side with pyarrow (row-group pruned via the term-sorted
+        layout) — a per-query Spark job for a handful of rows would cost more
+        than the lookup itself at any scale. Falls back to a Spark scan for
+        non-local filesystems pyarrow cannot reach.
+        """
         if not terms:
             return {}
-        from pyspark.sql import functions as F
+        uniq = sorted(set(terms))
+        try:
+            import pyarrow.dataset as ds
 
-        rows = (
-            self.termstats()
-            .where(F.col("term").isin(list(set(terms))))
-            .select("term", "df", "ttf")
-            .collect()
-        )
-        return {r["term"]: (r["df"], r["ttf"]) for r in rows}
+            dset = ds.dataset(os.path.join(self.index_dir, "termstats"))
+            tbl = dset.to_table(
+                columns=["term", "df", "ttf"],
+                filter=ds.field("term").isin(uniq),
+            )
+            return {
+                t: (int(d), int(f))
+                for t, d, f in zip(
+                    tbl["term"].to_pylist(), tbl["df"].to_pylist(), tbl["ttf"].to_pylist()
+                )
+            }
+        except (OSError, ImportError):
+            from pyspark.sql import functions as F
+
+            rows = (
+                self.termstats()
+                .where(F.col("term").isin(uniq))
+                .select("term", "df", "ttf")
+                .collect()
+            )
+            return {r["term"]: (r["df"], r["ttf"]) for r in rows}

@@ -88,10 +88,8 @@ def _segment_scorer(
         doc_lens = np.frombuffer(aux["doc_len_packed"].iloc[0], dtype=np.uint32)
         dl_eff = effective_doc_length(doc_lens, quantize=quantize)
         allowed = None
-        if "allowed_packed" in aux.columns:
-            allowed_ids = np.frombuffer(
-                aux["allowed_packed"].iloc[0], dtype=np.uint32
-            ).astype(np.int64)
+        if "allowed_ids" in aux.columns:
+            allowed_ids = np.asarray(aux["allowed_ids"].iloc[0], dtype=np.int64)
             allowed = np.zeros(n_docs, dtype=bool)
             allowed[allowed_ids] = True
 
@@ -214,6 +212,8 @@ def search_topk(
     filter_cond: Column | None = None,
     use_pruning: bool = True,
     extra_cols: Iterable[str] = (),
+    mode: str = "auto",
+    local_postings_limit: int = 2_000_000,
 ) -> DataFrame:
     """match-query top-k: analyze text → BM25 union/intersection → top-k.
 
@@ -221,6 +221,16 @@ def search_topk(
     minimum_should_match, AND operator); BM25 with global DFS stats; filters
     are non-scoring (filter context). Returns ≤ k rows
     (key_cols..., extra_cols..., score) in (score DESC, key ASC) order.
+
+    ``mode``: "spark" always scatters the scoring over executors (the
+    distributed path — required at cluster scale); "local" scores on the
+    driver with the same numpy kernel over pyarrow-pruned postings reads
+    (the single-node reference engine answers queries without any job
+    scheduling — this path matches that latency class); "auto" picks
+    "local" when the query's total matched postings (Σ df from the DFS
+    stats) fit under ``local_postings_limit`` and the index is
+    driver-readable, else "spark". Both paths share the scorer and are
+    asserted identical in tests.
     """
     cfg = reader.cfg
     key_cols = list(cfg.key_cols)
@@ -243,31 +253,34 @@ def search_topk(
         t: tokens.count(t) * lucene_idf(n, stats[t][0]) for t in present
     }
 
-    postings = reader.postings().where(F.col("term").isin(present))
-    aux = reader.norms().select("segment_id", "n_docs", "doc_len_packed")
-    if filter_cond is not None:
-        def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-            ids = np.sort(pdf["local_doc_id"].to_numpy(np.uint32))
-            return pd.DataFrame(
-                {
-                    "segment_id": [pdf["segment_id"].iloc[0]],
-                    "allowed_packed": [ids.tobytes()],
-                }
-            )
-
-        allowed_packed = (
-            reader.docs()
-            .where(filter_cond)
-            .select("segment_id", "local_doc_id")
-            .groupBy("segment_id")
-            .applyInPandas(_pack, "segment_id string, allowed_packed binary")
-        )
-        aux = aux.join(allowed_packed, "segment_id", "inner")
-
     score_fn = _segment_scorer(
         weights, need, k, cfg.bm25.k1, cfg.bm25.b, reader.avgdl, use_pruning,
         cfg.bm25.quantize_norms,
     )
+
+    if mode == "local" or (
+        mode == "auto"
+        and filter_cond is None
+        and sum(stats[t][0] for t in present) <= local_postings_limit
+        and not reader.index_dir.startswith(("s3://", "hdfs://", "gs://", "abfs"))
+    ):
+        local = _local_search(reader, score_fn, present, key_cols, list(extra_cols), k)
+        if local is not None:
+            return local
+
+    postings = reader.postings().where(F.col("term").isin(present))
+    aux = reader.norms().select("segment_id", "n_docs", "doc_len_packed")
+    if filter_cond is not None:
+        # per-segment allowed-doc sets computed entirely JVM-side (columnar
+        # scan + hash agg — the filter-context bitset analog,
+        # index/cache/filter/); arrives in the scorer as one array per segment
+        allowed = (
+            reader.docs()
+            .where(filter_cond)
+            .groupBy("segment_id")
+            .agg(F.sort_array(F.collect_list("local_doc_id")).alias("allowed_ids"))
+        )
+        aux = aux.join(allowed, "segment_id", "inner")
 
     def cogroup_fn(key, post: pd.DataFrame, aux_pdf: pd.DataFrame) -> pd.DataFrame:
         out = score_fn(post, aux_pdf)
@@ -280,11 +293,133 @@ def search_topk(
         .applyInPandas(cogroup_fn, "local_doc_id int, score double, segment_id string")
     )
 
+    # gather: ≤ k rows (plus score ties) per segment reach the driver — the
+    # TopDocs.merge scatter/gather boundary
+    # (search/controller/SearchPhaseController.java:144-234). Prune to the
+    # global top-k tie group, then run the fetch phase driver-side: read the
+    # winning rows straight out of the touched segments' doc tables with
+    # pyarrow predicate pushdown (FetchPhase.java:103-157 — the coordinator
+    # loads k stored documents; a distributed join for k rows is waste).
+    rows = cand.collect()
+    if not rows:
+        return _empty_result(reader, extra_cols)
+    scores = np.array([r["score"] for r in rows])
+    if len(rows) > k:
+        theta = float(np.partition(-scores, k - 1)[k - 1] * -1.0)
+        rows = [r for r in rows if r["score"] >= theta]
+
+    fetched = _driver_fetch(reader, rows, key_cols, list(extra_cols))
+    if fetched is None:  # non-local index store → distributed fetch join
+        return _spark_fetch(reader, rows, key_cols, list(extra_cols), k)
+    fetched = fetched.sort_values(
+        ["score", *key_cols], ascending=[False] + [True] * len(key_cols),
+        kind="mergesort",
+    ).head(k)
+    out_schema = _result_schema(reader, key_cols, list(extra_cols))
+    return reader.spark.createDataFrame(fetched, schema=out_schema)
+
+
+def _local_search(reader, score_fn, present, key_cols, extra_cols, k):
+    """Driver-local query execution: same numpy scorer, pyarrow-pruned reads.
+
+    The per-segment loop below is the exact computation each executor runs in
+    the distributed path; a single driver runs it when the matched postings
+    volume is small. Returns None if the index layout is not driver-readable
+    (caller falls back to the Spark path).
+    """
+    import os
+
+    import pyarrow.dataset as ds
+
+    try:
+        post_ds = ds.dataset(
+            os.path.join(reader.index_dir, "postings"), partitioning="hive"
+        )
+        tbl = post_ds.to_table(filter=ds.field("term").isin(present))
+    except OSError:
+        return None
+    if tbl.num_rows == 0:
+        return _empty_result(reader, extra_cols)
+    post = tbl.to_pandas()
+    post["segment_id"] = post["segment_id"].astype(str)
+
+    norm_ds = ds.dataset(os.path.join(reader.index_dir, "norms"), partitioning="hive")
+    segs = sorted(post["segment_id"].unique())
+    norms = norm_ds.to_table(filter=ds.field("segment_id").isin(segs)).to_pandas()
+    norms["segment_id"] = norms["segment_id"].astype(str)
+
+    rows = []
+    for seg, g in post.groupby("segment_id", sort=False):
+        aux = norms[norms["segment_id"] == seg][["n_docs", "doc_len_packed"]]
+        out = score_fn(g, aux)
+        for ldoc, sc in zip(out["local_doc_id"], out["score"]):
+            rows.append({"segment_id": seg, "local_doc_id": int(ldoc), "score": float(sc)})
+    if not rows:
+        return _empty_result(reader, extra_cols)
+    scores = np.array([r["score"] for r in rows])
+    if len(rows) > k:
+        theta = float(np.partition(-scores, k - 1)[k - 1] * -1.0)
+        rows = [r for r in rows if r["score"] >= theta]
+    fetched = _driver_fetch(reader, rows, key_cols, extra_cols)
+    if fetched is None:
+        return None
+    fetched = fetched.sort_values(
+        ["score", *key_cols], ascending=[False] + [True] * len(key_cols),
+        kind="mergesort",
+    ).head(k)
+    return reader.spark.createDataFrame(
+        fetched, schema=_result_schema(reader, key_cols, extra_cols)
+    )
+
+
+def _result_schema(reader: IndexReader, key_cols, extra_cols):
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    doc_fields = {f.name: f for f in reader.docs().schema.fields}
+    return StructType(
+        [doc_fields[c] for c in [*key_cols, *extra_cols]]
+        + [StructField("score", DoubleType())]
+    )
+
+
+def _driver_fetch(reader, rows, key_cols, extra_cols):
+    """Fetch winning docs driver-side from the per-segment parquet files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r["segment_id"], []).append(r)
+    parts = []
+    for seg, seg_rows in by_seg.items():
+        path = os.path.join(reader.index_dir, "docs", f"segment_id={seg}", "data.parquet")
+        if not os.path.exists(path):
+            return None
+        ids = [r["local_doc_id"] for r in seg_rows]
+        tbl = pq.read_table(
+            path,
+            columns=["local_doc_id", *key_cols, *extra_cols],
+            filters=[("local_doc_id", "in", ids)],
+        ).to_pandas()
+        score_map = {r["local_doc_id"]: r["score"] for r in seg_rows}
+        tbl["score"] = tbl["local_doc_id"].map(score_map)
+        parts.append(tbl.drop(columns=["local_doc_id"]))
+    return pd.concat(parts, ignore_index=True)
+
+
+def _spark_fetch(reader, rows, key_cols, extra_cols, k):
+    seg_ids = sorted({r["segment_id"] for r in rows})
+    cand_df = reader.spark.createDataFrame(
+        [(r["segment_id"], r["local_doc_id"], r["score"]) for r in rows],
+        "segment_id string, local_doc_id int, score double",
+    )
     fetch_cols = ["segment_id", "local_doc_id", *key_cols, *extra_cols]
     return (
         reader.docs()
+        .where(F.col("segment_id").isin(seg_ids))  # partition-pruned fetch
         .select(*fetch_cols)
-        .join(F.broadcast(cand), ["segment_id", "local_doc_id"])
+        .join(F.broadcast(cand_df), ["segment_id", "local_doc_id"])
         .select(*key_cols, *extra_cols, "score")
         .orderBy(F.col("score").desc(), *[F.col(c).asc() for c in key_cols])
         .limit(k)

@@ -140,6 +140,20 @@ def test_pruning_equals_dense(reader):
         ]
 
 
+def test_local_mode_equals_spark_mode(reader):
+    """Driver-local execution (pyarrow reads + shared numpy scorer) must be
+    row/score-identical to the distributed cogroup path."""
+    for text, kw in [
+        ("error timeout", {}),
+        ("tok0000 tok0001", {"operator": "and"}),
+        ("error timeout retry", {"minimum_should_match": 2}),
+        ("rareterm000", {}),
+    ]:
+        a = search_topk(reader, text, k=10, mode="local", **kw).collect()
+        b = search_topk(reader, text, k=10, mode="spark", **kw).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], (text, kw)
+
+
 def test_absent_term_zero_hits(reader):
     assert search_topk(reader, "zzz_absent_term").count() == 0
     assert search_topk(reader, "").count() == 0
