@@ -776,7 +776,7 @@ register(
 
 register(
     "text_fingerprint_cardinality",
-    "SELECT lang, count(DISTINCT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) "
+    "SELECT lang, count(DISTINCT trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
     "AS n_unique FROM documents GROUP BY lang",
 )(
     lambda spark, sf: textstats.fingerprint(_t(spark, sf, "documents"))

@@ -118,5 +118,7 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """64-bit document fingerprint over normalized text (case-folded,
     whitespace-collapsed) — xxhash64; stable across runs."""
-    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    # collapse all whitespace first, then trim — trim() alone only strips
+    # the space character, not tabs/newlines
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.withColumn(out_col, F.xxhash64(normalized))
