@@ -73,6 +73,10 @@ class IndexConfig:
     # postings are packed in blocks of this many doc ids (Lucene50 FOR block
     # size 128 — Elasticsearch090PostingsFormat.java:42-54)
     block_size: int = 128
+    # index token positions (the .pos file analog) — required by
+    # match_phrase / span queries; on by default like the reference's
+    # analyzed-string fields (IndexOptions DOCS_AND_FREQS_AND_POSITIONS)
+    index_positions: bool = True
     # keep latest version of a duplicated (key) by ts — the versionMap analog
     dedup_latest_by: str | None = None
 

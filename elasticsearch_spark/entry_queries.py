@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from elasticsearch_spark.config import AnalyzerConfig, BM25Params, IndexConfig
 from elasticsearch_spark.ops import aggs, filters, functionscore, joins, sort
-from elasticsearch_spark.oracle.sqlgen import bm25_topk_sql
+from elasticsearch_spark.oracle.sqlgen import bm25_phrase_sql, bm25_topk_sql
 from elasticsearch_spark.pipeline import dedup, similarity, textstats
 from elasticsearch_spark.query.online import bm25_topk_online
 
@@ -104,8 +104,8 @@ def _indexed_reader(spark: SparkSession, sf_dir: str):
 
     key = os.path.abspath(sf_dir)
     if key not in _INDEX_CACHE:
-        idx_dir = os.path.join(
-            "/tmp/es_spark_idx", key.strip("/").replace("/", "_")
+        idx_dir = os.path.join(  # v2: positional postings layout
+            "/tmp/es_spark_idx_v2", key.strip("/").replace("/", "_")
         )
         if not os.path.exists(os.path.join(idx_dir, "meta.json")):
             cfg = IndexConfig(
@@ -130,6 +130,31 @@ def _indexed(spark, sf_dir, text, k=10, **kw):
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def _indexed_phrase(spark, sf_dir, text, k=10, slop=0):
+    from elasticsearch_spark.query.executor import phrase_topk
+
+    reader = _indexed_reader(spark, sf_dir)
+    out = phrase_topk(reader, text, k=k, slop=slop)
+    return (
+        out.withColumn("score", F.round("score", 4))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+register("bm25_phrase", bm25_phrase_sql(["table", "hash"], k=10))(
+    lambda spark, sf: _indexed_phrase(spark, sf, "table hash", k=10)
+)
+
+register("bm25_phrase_trigram", bm25_phrase_sql(["merge", "group"], k=15))(
+    lambda spark, sf: _indexed_phrase(spark, sf, "merge group", k=15)
+)
+
+register("bm25_phrase_slop")(  # slop semantics not SQL-expressible tersely
+    lambda spark, sf: _indexed_phrase(spark, sf, "table hash", k=10, slop=2)
+)
 
 
 register("bm25_indexed_term", bm25_topk_sql(["data"], k=10))(

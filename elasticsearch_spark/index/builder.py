@@ -93,25 +93,48 @@ def _flush_segment(
     doc_len = tokens.str.len().to_numpy(dtype=np.int64)
     dl_eff = effective_doc_length(doc_len, quantize=cfg.bm25.quantize_norms)
 
-    # exploded (local_doc_id, term) pairs — vectorized
+    # exploded (local_doc_id, term, position) triples — vectorized
     lens = doc_len
     doc_rep = np.repeat(np.arange(n_docs, dtype=np.uint32), lens)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if n_docs else np.array([], dtype=np.int64)
+    pos_rep = (np.arange(int(lens.sum())) - np.repeat(starts, lens)).astype(np.uint32)
     flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tokens.to_numpy()]) \
         if n_docs else np.array([], dtype=object)
-    # tf per (term, doc): sort by (term, doc) then run-length encode
-    ed = pd.DataFrame({"term": flat_terms, "doc": doc_rep})
-    grouped = ed.groupby(["term", "doc"], sort=True).size().reset_index(name="tf")
-    terms_arr = grouped["term"].to_numpy()
-    docs_arr = grouped["doc"].to_numpy(dtype=np.uint32)
-    tfs_arr = grouped["tf"].to_numpy(dtype=np.uint32)
+    # sort by (term, doc, pos): tf = run length per (term, doc); positions
+    # stay ascending inside each run (Lucene .pos file order)
+    ed = pd.DataFrame({"term": flat_terms, "doc": doc_rep, "pos": pos_rep})
+    ed = ed.sort_values(["term", "doc", "pos"], kind="mergesort", ignore_index=True)
+    s_terms = ed["term"].to_numpy()
+    s_docs = ed["doc"].to_numpy(dtype=np.uint32)
+    s_pos = ed["pos"].to_numpy(dtype=np.uint32)
+    n_flat = len(ed)
+    if n_flat:
+        new_grp = np.empty(n_flat, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (s_terms[1:] != s_terms[:-1]) | (s_docs[1:] != s_docs[:-1])
+        gstarts = np.flatnonzero(new_grp)
+    else:
+        gstarts = np.array([], dtype=np.int64)
+    gends = np.append(gstarts[1:], n_flat)
+    terms_arr = s_terms[gstarts]
+    docs_arr = s_docs[gstarts]
+    tfs_arr = (gends - gstarts).astype(np.uint32)
+    # per-doc-group delta-encoded positions (flat, group-aligned)
+    pos_delta = s_pos.copy()
+    if n_flat:
+        pos_delta[1:] -= s_pos[:-1]
+        pos_delta[gstarts] = s_pos[gstarts]
+    # entry -> flat-position offset of the entry's first position
+    entry_off = gstarts
 
     # term boundaries (terms_arr sorted)
     uniq_terms, term_starts = np.unique(terms_arr, return_index=True)
     term_ends = np.append(term_starts[1:], len(terms_arr))
 
     bs = cfg.block_size
+    with_pos = cfg.index_positions
     p_term, p_block, p_ndocs, p_firstdoc, p_lastdoc = [], [], [], [], []
-    p_maxtf, p_mindl, p_docs, p_tfs = [], [], [], []
+    p_maxtf, p_mindl, p_docs, p_tfs, p_pos = [], [], [], [], []
     st_df, st_ttf, st_maxtf = [], [], []
     postings_bytes = 0
     h = hashlib.sha256()
@@ -123,8 +146,9 @@ def _flush_segment(
         st_ttf.append(int(ttfs.sum()))
         st_maxtf.append(int(ttfs.max()))
         for b0 in range(0, len(tdocs), bs):
-            bdocs = tdocs[b0 : b0 + bs]
-            btfs = ttfs[b0 : b0 + bs]
+            b1 = min(b0 + bs, len(tdocs))
+            bdocs = tdocs[b0:b1]
+            btfs = ttfs[b0:b1]
             packed_d = pack_u32(delta_encode(bdocs))
             packed_t = pack_u32(btfs)
             p_term.append(uniq_terms[ti])
@@ -136,6 +160,16 @@ def _flush_segment(
             p_mindl.append(float(dl_eff[bdocs].min()))
             p_docs.append(packed_d)
             p_tfs.append(packed_t)
+            if with_pos:
+                # flat per-doc delta positions for the block's entries
+                flo = entry_off[s + b0]
+                fhi = gends[s + b1 - 1]
+                packed_p = pack_u32(pos_delta[flo:fhi])
+                p_pos.append(packed_p)
+                postings_bytes += len(packed_p)
+                h.update(packed_p)
+            else:
+                p_pos.append(None)
             postings_bytes += len(packed_d) + len(packed_t)
             h.update(packed_d)
             h.update(packed_t)
@@ -153,6 +187,9 @@ def _flush_segment(
             "min_dl_eff": pa.array(p_mindl, pa.float64()),
             "docs_packed": pa.array(p_docs, pa.binary()),
             "tfs_packed": pa.array(p_tfs, pa.binary()),
+            # per-doc delta-encoded positions, entry lengths = tfs
+            # (the .pos file analog; NULL when index_positions=False)
+            "pos_packed": pa.array(p_pos, pa.binary()),
         }
     )
     _write_deterministic(postings_tbl, seg_dir("postings"))

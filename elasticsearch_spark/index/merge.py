@@ -44,6 +44,13 @@ from elasticsearch_spark.index.codec import delta_decode, delta_encode, pack_u32
 
 MAX_MERGE_AT_ONCE = 10  # TieredMergePolicyProvider.java:39 default
 
+POSTINGS_SCHEMA = (
+    "term string, block_id long, n_docs int, first_doc long,"
+    " last_doc long, max_tf int,"
+    " min_dl_eff double, docs_packed binary, tfs_packed binary,"
+    " pos_packed binary"
+)
+
 
 def plan_merges(manifest: pd.DataFrame, fan_in: int = MAX_MERGE_AT_ONCE) -> list[list[str]]:
     """Group active segments into merge groups of ≤ fan_in, smallest first."""
@@ -106,13 +113,9 @@ def merge_segments(
                 out["block_id"] = rank * (1 << 32) + pdf["block_id"].to_numpy(np.int64)
                 out["first_doc"] = pdf["first_doc"].to_numpy(np.int64) + off
                 out["last_doc"] = pdf["last_doc"].to_numpy(np.int64) + off
+                # pos_packed: within-doc positions are merge-invariant — pass through
                 yield out
-        new_posts_schema = (
-            "term string, block_id long, n_docs int, first_doc long,"
-            " last_doc long, max_tf int,"
-            " min_dl_eff double, docs_packed binary, tfs_packed binary"
-        )
-        new_posts = posts.mapInPandas(rebase, new_posts_schema)
+        new_posts = posts.mapInPandas(rebase, POSTINGS_SCHEMA)
     else:
         # salted repack: re-block to exactly block_size, parallel by
         # (term, salt); salt = run of source block ordinals → order-preserving
@@ -121,20 +124,32 @@ def merge_segments(
             pdf["rank"] = pdf["segment_id"].map(b_rank.value)
             pdf = pdf.sort_values(["rank", "first_doc"])
             offs = pdf["segment_id"].map(b_off.value).to_numpy(np.int64)
-            docs_all, tfs_all = [], []
-            for buf, tbuf, nd, o in zip(
-                pdf["docs_packed"], pdf["tfs_packed"], pdf["n_docs"], offs
+            has_pos = pdf["pos_packed"].notna().all()
+            docs_all, tfs_all, pos_all = [], [], []
+            for buf, tbuf, pbuf, nd, o in zip(
+                pdf["docs_packed"], pdf["tfs_packed"], pdf["pos_packed"],
+                pdf["n_docs"], offs,
             ):
                 docs_all.append(delta_decode(unpack_u32(buf, nd)).astype(np.int64) + o)
-                tfs_all.append(unpack_u32(tbuf, nd))
+                btfs = unpack_u32(tbuf, nd)
+                tfs_all.append(btfs)
+                if has_pos:
+                    pos_all.append(unpack_u32(pbuf, int(btfs.sum())))
             docs = np.concatenate(docs_all)
             tfs = np.concatenate(tfs_all)
+            # entry -> flat position offsets (per-doc deltas stay valid:
+            # within-doc positions never change under merge)
+            if has_pos:
+                pos_flat = np.concatenate(pos_all) if pos_all else np.array([], np.uint32)
+                entry_end = np.cumsum(tfs.astype(np.int64))
+                entry_start = entry_end - tfs
             min_dl = float(pdf["min_dl_eff"].min())
             rows = []
             base = int(key[1]) * (1 << 32)  # salt-major block ordinal space
             for i, b0 in enumerate(range(0, len(docs), block_size)):
-                bd = docs[b0 : b0 + block_size].astype(np.uint32)
-                bt = tfs[b0 : b0 + block_size]
+                b1 = min(b0 + block_size, len(docs))
+                bd = docs[b0:b1].astype(np.uint32)
+                bt = tfs[b0:b1]
                 rows.append(
                     {
                         "term": key[0],
@@ -146,6 +161,11 @@ def merge_segments(
                         "min_dl_eff": min_dl,
                         "docs_packed": pack_u32(delta_encode(bd)),
                         "tfs_packed": pack_u32(bt),
+                        "pos_packed": pack_u32(
+                            pos_flat[entry_start[b0] : entry_end[b1 - 1]]
+                        )
+                        if has_pos
+                        else None,
                     }
                 )
             return pd.DataFrame(rows)
@@ -161,13 +181,8 @@ def merge_segments(
         )
         w = Window.partitionBy("term").orderBy("__ord")
         salted = ordered.withColumn("salt", F.ntile(salt_buckets).over(w))
-        new_posts_schema = (
-            "term string, block_id long, n_docs int, first_doc long,"
-            " last_doc long, max_tf int,"
-            " min_dl_eff double, docs_packed binary, tfs_packed binary"
-        )
         new_posts = salted.groupBy("term", "salt").applyInPandas(
-            repack_fn, new_posts_schema
+            repack_fn, POSTINGS_SCHEMA
         )
 
     posts_out = os.path.join(index_dir, "postings", f"segment_id={merged_name}")

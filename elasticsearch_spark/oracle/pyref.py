@@ -38,6 +38,7 @@ class PyRefEngine:
         self.analyzer = analyzer or AnalyzerConfig()
         self.bm25 = bm25 or BM25Params()
         self.postings: dict[str, dict[Any, int]] = defaultdict(dict)  # term -> key -> tf
+        self.positions: dict[str, dict[Any, list[int]]] = defaultdict(dict)
         self.doc_len: dict[Any, int] = {}
         self.docs: dict[Any, dict] = {}
         self.total_tokens = 0
@@ -49,11 +50,15 @@ class PyRefEngine:
             self.total_tokens -= self.doc_len[key]
             for term_docs in self.postings.values():
                 term_docs.pop(key, None)
+            for term_pos in self.positions.values():
+                term_pos.pop(key, None)
         self.doc_len[key] = len(toks)
         self.total_tokens += len(toks)
         self.docs[key] = {"text": text, **stored}
         for term, tf in Counter(toks).items():
             self.postings[term][key] = tf
+        for p, term in enumerate(toks):
+            self.positions[term].setdefault(key, []).append(p)
 
     # -- stats --------------------------------------------------------------
     @property
@@ -119,6 +124,60 @@ class PyRefEngine:
             if len(per_doc_terms[key]) >= need
             and (filter_fn is None or filter_fn(self.docs[key]))
         ]
+        hits.sort(key=lambda kv: (-kv[1], kv[0]))
+        return hits[:k]
+
+    def match_phrase(
+        self,
+        phrase_text: str,
+        k: int = 10,
+        slop: int = 0,
+        filter_fn=None,
+    ) -> list[tuple[Any, float]]:
+        """Phrase query with the engine's documented semantics.
+
+        slop=0: Lucene ExactPhraseScorer — freq = #anchors p where term_i sits
+        at p+i for all i; score = (Σ_i idf(term_i)) · tfNorm(freq).
+        slop>0: bounded displacement — anchor valid if every term i has an
+        occurrence q with |q - i - p| ≤ slop (each anchor counts 1)."""
+        terms = tokenize_text(phrase_text, self.analyzer)
+        if not terms:
+            return []
+        for t in terms:
+            if not self.postings.get(t):
+                return []
+        sum_idf = sum(self.idf(t) for t in terms)
+        # candidate docs: contain every term
+        cand = set(self.positions[terms[0]])
+        for t in terms[1:]:
+            cand &= set(self.positions[t])
+        k1, b = self.bm25.k1, self.bm25.b
+        hits = []
+        for key in cand:
+            if filter_fn is not None and not filter_fn(self.docs[key]):
+                continue
+            anchors = [p for p in self.positions[terms[0]][key]]
+            for i, t in enumerate(terms[1:], start=1):
+                plist = self.positions[t][key]
+                if slop == 0:
+                    pset = set(q - i for q in plist)
+                    anchors = [p for p in anchors if p in pset]
+                else:
+                    anchors = [
+                        p
+                        for p in anchors
+                        if any(abs((q - i) - p) <= slop for q in plist)
+                    ]
+                if not anchors:
+                    break
+            freq = len(anchors)
+            if freq == 0:
+                continue
+            dl_eff = self._dl_eff(key)
+            tf_norm = freq * (k1 + 1.0) / (
+                freq + k1 * (1.0 - b + b * dl_eff / self.avgdl)
+            )
+            hits.append((key, sum_idf * tf_norm))
         hits.sort(key=lambda kv: (-kv[1], kv[0]))
         return hits[:k]
 

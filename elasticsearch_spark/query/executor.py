@@ -257,18 +257,222 @@ def search_topk(
         weights, need, k, cfg.bm25.k1, cfg.bm25.b, reader.avgdl, use_pruning,
         cfg.bm25.quantize_norms,
     )
+    est = sum(stats[t][0] for t in present)
+    return _execute(
+        reader, score_fn, present, k, filter_cond, list(extra_cols), mode, est,
+        local_postings_limit, _MATCH_COLUMNS,
+    )
+
+
+# postings columns the match scorer touches (positions pruned away)
+_MATCH_COLUMNS = [
+    "term", "block_id", "n_docs", "first_doc", "last_doc", "max_tf",
+    "min_dl_eff", "docs_packed", "tfs_packed",
+]
+_PHRASE_COLUMNS = _MATCH_COLUMNS + ["pos_packed"]
+
+
+def phrase_topk(
+    reader: IndexReader,
+    phrase_text: str,
+    k: int = 10,
+    slop: int = 0,
+    filter_cond: Column | None = None,
+    extra_cols: Iterable[str] = (),
+    mode: str = "auto",
+    local_postings_limit: int = 2_000_000,
+) -> DataFrame:
+    """match_phrase top-k over the positional index.
+
+    Reference semantics: index/search/MatchQuery.java:215-220 builds a Lucene
+    PhraseQuery; with slop=0 scoring matches ExactPhraseScorer exactly —
+    freq(doc) = number of positions p where term_i occurs at p+i for all i,
+    score = (Σ_i idf(term_i)) · tfNorm(freq) with the standard BM25 norm.
+    slop>0 uses bounded-displacement semantics: an anchor position p of the
+    first term matches if every later term has an occurrence within ``slop``
+    of its expected position p+i (each occurrence counts 1 toward freq —
+    unlike Lucene's 1/(1+matchLength) weighting; divergence documented, the
+    PyRefEngine oracle implements the same definition).
+    """
+    cfg = reader.cfg
+    tokens = tokenize_text(phrase_text, cfg.analyzer)
+    if not tokens:
+        return _empty_result(reader, extra_cols)
+    stats = reader.query_term_stats(tokens)
+    if any(stats.get(t, (0, 0))[0] == 0 for t in tokens):
+        return _empty_result(reader, extra_cols)
+    if not reader.cfg.index_positions:
+        raise ValueError("index was built with index_positions=False")
+
+    n = reader.n_docs
+    sum_idf = float(sum(lucene_idf(n, stats[t][0]) for t in tokens))
+    score_fn = _segment_phrase_scorer(
+        tokens, sum_idf, slop, k, cfg.bm25.k1, cfg.bm25.b, reader.avgdl,
+        cfg.bm25.quantize_norms,
+    )
+    present = list(dict.fromkeys(tokens))
+    est = sum(stats[t][1] for t in present)  # ttf: positions volume
+    return _execute(
+        reader, score_fn, present, k, filter_cond, list(extra_cols), mode, est,
+        local_postings_limit, _PHRASE_COLUMNS,
+    )
+
+
+def _segment_phrase_scorer(
+    tokens: list[str],
+    sum_idf: float,
+    slop: int,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    quantize: bool,
+):
+    """Vectorized per-segment phrase matcher + BM25 scorer.
+
+    Positions are flattened to sortable keys ``doc << SHIFT | (pos - i)``;
+    an exact phrase is the k-way sorted intersection of the per-offset key
+    sets (docs never collide across the SHIFT boundary because within-doc
+    positions < 2^SHIFT and doc gaps exceed any slop)."""
+    SHIFT = 22  # max 4M positions per doc
+
+    def score_fn(post: pd.DataFrame, aux: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "local_doc_id": pd.Series([], dtype="int32"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        if post.empty or aux.empty:
+            return empty
+        n_docs = int(aux["n_docs"].iloc[0])
+        doc_lens = np.frombuffer(aux["doc_len_packed"].iloc[0], dtype=np.uint32)
+        dl_eff = effective_doc_length(doc_lens, quantize=quantize)
+        allowed = None
+        if "allowed_ids" in aux.columns:
+            allowed_ids = np.asarray(aux["allowed_ids"].iloc[0], dtype=np.int64)
+            allowed = np.zeros(n_docs, dtype=bool)
+            allowed[allowed_ids] = True
+
+        post = post.sort_values(["term", "first_doc"])
+        by_term = {t: g for t, g in post.groupby("term", sort=False)}
+        if any(t not in by_term for t in set(tokens)):
+            return empty
+
+        decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for t in set(tokens):
+            docs, tfs, pos = _decode_term_pos(by_term[t])
+            decoded[t] = (docs, tfs.astype(np.int64), pos)
+
+        anchors = None
+        for i, t in enumerate(tokens):
+            docs, tfs, pos = decoded[t]
+            doc_of_pos = np.repeat(docs, tfs)
+            adj = pos.astype(np.int64) - i
+            valid = adj >= 0
+            keys = (doc_of_pos[valid] << SHIFT) + adj[valid]
+            if anchors is None:
+                anchors = keys
+            elif slop == 0:
+                anchors = np.intersect1d(anchors, keys, assume_unique=True)
+            else:
+                if anchors.size == 0 or keys.size == 0:
+                    anchors = np.array([], dtype=np.int64)
+                    break
+                idx = np.searchsorted(keys, anchors)
+                left = np.abs(keys[np.clip(idx - 1, 0, keys.size - 1)] - anchors)
+                right = np.abs(keys[np.clip(idx, 0, keys.size - 1)] - anchors)
+                anchors = anchors[np.minimum(left, right) <= slop]
+            if anchors.size == 0:
+                return empty
+
+        match_docs = (anchors >> SHIFT).astype(np.int64)
+        udocs, freqs = np.unique(match_docs, return_counts=True)
+        if allowed is not None:
+            keep = allowed[udocs]
+            udocs, freqs = udocs[keep], freqs[keep]
+        if udocs.size == 0:
+            return empty
+        c0 = k1 * (1.0 - b)
+        c1 = k1 * b / avgdl
+        f = freqs.astype(np.float64)
+        score = sum_idf * (f * (k1 + 1.0)) / (f + c0 + c1 * dl_eff[udocs])
+        cand, cscores = udocs, score
+        if cand.size > k:
+            part = np.argpartition(-cscores, k - 1)
+            theta = cscores[part[k - 1]]
+            sel = cscores >= theta
+            cand, cscores = cand[sel], cscores[sel]
+        order = np.lexsort((cand, -cscores))
+        cand, cscores = cand[order], cscores[order]
+        return pd.DataFrame({"local_doc_id": cand.astype(np.int32), "score": cscores})
+
+    return score_fn
+
+
+def _decode_term_pos(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one term's blocks → (doc_ids, tfs, absolute positions flat).
+
+    pos_packed holds per-doc delta positions; absolute = segmented cumsum
+    (reset at entry starts), vectorized via offset subtraction."""
+    docs_parts, tf_parts, pos_parts = [], [], []
+    for nd, db, tb, pb in zip(
+        g["n_docs"], g["docs_packed"], g["tfs_packed"], g["pos_packed"]
+    ):
+        docs_parts.append(delta_decode(unpack_u32(db, nd)))
+        tfs = unpack_u32(tb, nd)
+        tf_parts.append(tfs)
+        n_pos = int(tfs.sum())
+        deltas = unpack_u32(pb, n_pos).astype(np.int64)
+        # segmented cumsum: plain cumsum, then subtract the carry-over at
+        # each entry start
+        cs = np.cumsum(deltas)
+        starts = np.cumsum(tfs.astype(np.int64))[:-1]
+        carry = np.zeros(n_pos, dtype=np.int64)
+        if starts.size:
+            carry_vals = cs[starts - 1]
+            carry[starts] = np.diff(np.concatenate([[0], carry_vals]))
+            carry = np.cumsum(carry)
+        pos_parts.append(cs - carry)
+    return (
+        np.concatenate(docs_parts).astype(np.int64),
+        np.concatenate(tf_parts),
+        np.concatenate(pos_parts),
+    )
+
+
+def _execute(
+    reader: IndexReader,
+    score_fn,
+    present: list[str],
+    k: int,
+    filter_cond: Column | None,
+    extra_cols: list[str],
+    mode: str,
+    est_postings: int,
+    local_postings_limit: int,
+    columns: list[str],
+) -> DataFrame:
+    """Shared scatter/gather/fetch pipeline for match and phrase queries."""
+    key_cols = list(reader.cfg.key_cols)
 
     if mode == "local" or (
         mode == "auto"
         and filter_cond is None
-        and sum(stats[t][0] for t in present) <= local_postings_limit
+        and est_postings <= local_postings_limit
         and not reader.index_dir.startswith(("s3://", "hdfs://", "gs://", "abfs"))
     ):
-        local = _local_search(reader, score_fn, present, key_cols, list(extra_cols), k)
+        local = _local_search(
+            reader, score_fn, present, key_cols, extra_cols, k, columns
+        )
         if local is not None:
             return local
 
-    postings = reader.postings().where(F.col("term").isin(present))
+    postings = (
+        reader.postings()
+        .where(F.col("term").isin(present))
+        .select("segment_id", *columns)
+    )
     aux = reader.norms().select("segment_id", "n_docs", "doc_len_packed")
     if filter_cond is not None:
         # per-segment allowed-doc sets computed entirely JVM-side (columnar
@@ -308,18 +512,18 @@ def search_topk(
         theta = float(np.partition(-scores, k - 1)[k - 1] * -1.0)
         rows = [r for r in rows if r["score"] >= theta]
 
-    fetched = _driver_fetch(reader, rows, key_cols, list(extra_cols))
+    fetched = _driver_fetch(reader, rows, key_cols, extra_cols)
     if fetched is None:  # non-local index store → distributed fetch join
-        return _spark_fetch(reader, rows, key_cols, list(extra_cols), k)
+        return _spark_fetch(reader, rows, key_cols, extra_cols, k)
     fetched = fetched.sort_values(
         ["score", *key_cols], ascending=[False] + [True] * len(key_cols),
         kind="mergesort",
     ).head(k)
-    out_schema = _result_schema(reader, key_cols, list(extra_cols))
+    out_schema = _result_schema(reader, key_cols, extra_cols)
     return reader.spark.createDataFrame(fetched, schema=out_schema)
 
 
-def _local_search(reader, score_fn, present, key_cols, extra_cols, k):
+def _local_search(reader, score_fn, present, key_cols, extra_cols, k, columns=None):
     """Driver-local query execution: same numpy scorer, pyarrow-pruned reads.
 
     The per-segment loop below is the exact computation each executor runs in
@@ -335,7 +539,10 @@ def _local_search(reader, score_fn, present, key_cols, extra_cols, k):
         post_ds = ds.dataset(
             os.path.join(reader.index_dir, "postings"), partitioning="hive"
         )
-        tbl = post_ds.to_table(filter=ds.field("term").isin(present))
+        tbl = post_ds.to_table(
+            filter=ds.field("term").isin(present),
+            columns=[*columns, "segment_id"] if columns else None,
+        )
     except OSError:
         return None
     if tbl.num_rows == 0:
