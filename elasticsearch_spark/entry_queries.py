@@ -16,7 +16,14 @@ from pyspark.sql import functions as F
 
 from elasticsearch_spark.config import AnalyzerConfig, BM25Params, IndexConfig
 from elasticsearch_spark.ops import aggs, filters, functionscore, joins, sort
-from elasticsearch_spark.oracle.sqlgen import bm25_phrase_sql, bm25_topk_sql
+from elasticsearch_spark.oracle.sqlgen import (
+    _field_score_cte,
+    _ranges_cte,
+    bm25_phrase_sql,
+    bm25_topk_sql,
+    fuzzy_sql,
+    multi_match_sql,
+)
 from elasticsearch_spark.pipeline import dedup, similarity, textstats
 from elasticsearch_spark.query.online import bm25_topk_online
 
@@ -90,6 +97,173 @@ register("bm25_zero_hits", bm25_topk_sql(["zzzzneverseen"], k=10))(
 register("bm25_k100", bm25_topk_sql(["slow", "hash"], k=100))(
     lambda spark, sf: _online(spark, sf, "slow hash", k=100)
 )
+
+
+register(
+    "multi_match_best_fields",
+    multi_match_sql(["table", "src1"], ["text", "source"], tie_breaker=0.3, k=12),
+)(
+    lambda spark, sf: __import__(
+        "elasticsearch_spark.query.online", fromlist=["x"]
+    ).multi_match_online(
+        spark,
+        _t(spark, sf, "documents"),
+        "table src1",
+        key_cols=["doc_id"],
+        fields=["text", "source"],
+        tie_breaker=0.3,
+        k=12,
+        analyzer=SIMPLE,
+        score_decimals=4,
+    )
+)
+
+register(
+    "multi_match_most_fields",
+    multi_match_sql(
+        ["scan", "src2"], ["text", "source"], match_type="most_fields", k=12
+    ),
+)(
+    lambda spark, sf: __import__(
+        "elasticsearch_spark.query.online", fromlist=["x"]
+    ).multi_match_online(
+        spark,
+        _t(spark, sf, "documents"),
+        "scan src2",
+        key_cols=["doc_id"],
+        fields=["text", "source"],
+        match_type="most_fields",
+        k=12,
+        analyzer=SIMPLE,
+        score_decimals=4,
+    )
+)
+
+register("fuzzy_query", fuzzy_sql("tabel", fuzziness=2, k=10))(
+    lambda spark, sf: __import__(
+        "elasticsearch_spark.query.online", fromlist=["x"]
+    ).fuzzy_topk_online(
+        spark,
+        _t(spark, sf, "documents"),
+        "tabel",
+        key_cols=["doc_id"],
+        fuzziness=2,
+        k=10,
+        analyzer=SIMPLE,
+        score_decimals=4,
+    )
+)
+
+_RESCORE_SQL = f"""
+WITH {_ranges_cte()},
+{_field_score_cte("f0", "'query','fast'", "documents", "doc_id", "text", 1.2, 0.75, True)},
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM f0
+)
+SELECT r.doc_id,
+       round(CASE WHEN r.rnk <= 20
+             THEN r.score + 2.0 * exp(-(abs(d.n_chars - 200.0) * abs(d.n_chars - 200.0))
+                                      / (2 * (100.0 * 100.0 / (2 * ln(2.0)))))
+             ELSE r.score END, 4) AS score
+FROM ranked r JOIN documents d USING (doc_id)
+ORDER BY score DESC, r.doc_id ASC
+LIMIT 10
+""".strip()
+
+
+def _rescore_query(spark, sf):
+    from elasticsearch_spark.ops import functionscore, rescore
+    from elasticsearch_spark.query.online import bm25_topk_online
+
+    docs = _t(spark, sf, "documents")
+    hits = bm25_topk_online(
+        spark, docs, "query fast", key_cols=["doc_id"], k=1 << 30,
+        analyzer=SIMPLE,
+    ).join(docs.select("doc_id", "n_chars"), "doc_id")
+    secondary = 2.0 * F.exp(
+        -(F.abs(F.col("n_chars") - 200.0) * F.abs(F.col("n_chars") - 200.0))
+        / (2 * (100.0 * 100.0 / (2 * float(__import__("math").log(2.0)))))
+    )
+    out = rescore.rescore_topk(
+        hits, "score", secondary, ["doc_id"], window_size=20, k=10,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+register("rescore_window", _RESCORE_SQL)(_rescore_query)
+
+_SUGGEST_SQL = """
+WITH dict AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
+    FROM documents
+  ) GROUP BY term
+)
+SELECT term AS suggestion, levenshtein(term, 'tabel') AS distance, df
+FROM dict
+WHERE len(term) BETWEEN 3 AND 7
+  AND term LIKE 't%' AND term != 'tabel'
+  AND levenshtein(term, 'tabel') <= 2
+ORDER BY distance ASC, df DESC, suggestion ASC
+LIMIT 5
+""".strip()
+
+
+def _suggest_query(spark, sf):
+    from elasticsearch_spark.analysis.analyzers import tokenize_column
+    from elasticsearch_spark.ops.suggest import term_suggest_df
+
+    docs = _t(spark, sf, "documents")
+    term_dict = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(tokenize_column("text", SIMPLE))
+            ).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return term_suggest_df(term_dict, "tabel", max_edits=2, size=5)
+
+
+register("suggest_term", _SUGGEST_SQL)(_suggest_query)
+
+
+def _highlight_query(spark, sf):
+    from elasticsearch_spark.ops.highlight import highlight, n_matches_column
+
+    docs = _t(spark, sf, "documents")
+    return (
+        highlight(docs, "text", ["query", "merge"], fragment_size=80)
+        .where(F.col("highlight").isNotNull())
+        .withColumn("n_matches", n_matches_column("text", ["query", "merge"]))
+        .select("doc_id", "highlight", "n_matches")
+        .orderBy(F.col("n_matches").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+register("highlight_plain")(_highlight_query)  # Java-vs-RE2 regex nuances → rows-only
+
+
+def _mlt_query(spark, sf):
+    from elasticsearch_spark.ops.mlt import more_like_this
+
+    reader = _indexed_reader(spark, sf)
+    like = (
+        _t(spark, sf, "documents").where(F.col("doc_id") == 3).collect()[0]["text"]
+    )
+    out = more_like_this(reader, like, k=10, max_query_terms=10)
+    return (
+        out.withColumn("score", F.round("score", 4))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+register("more_like_this")(_mlt_query)  # term selection uses index stats → rows-only
 
 
 # --------------------------------------------------------------------------

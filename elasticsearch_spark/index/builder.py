@@ -83,10 +83,11 @@ def _flush_segment(
     frames: list[pd.DataFrame],
     cfg: IndexConfig,
     index_dir: str,
+    segment_prefix: str = "",
 ) -> dict:
     """Build one immutable segment from the pandas rows of one pid chunk."""
     pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-    seg = f"{pid:05d}-{seq:03d}"
+    seg = f"{segment_prefix}{pid:05d}-{seq:03d}"
     n_docs = len(pdf)
 
     tokens = analyze_series(pdf[cfg.text_col], cfg.analyzer)
@@ -244,7 +245,8 @@ def _flush_segment(
     }
 
 
-def _make_build_fn(cfg: IndexConfig, index_dir: str, max_docs_per_segment: int):
+def _make_build_fn(cfg: IndexConfig, index_dir: str, max_docs_per_segment: int,
+                   segment_prefix: str = ""):
     def build_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: list[dict] = []
         cur_pid: int | None = None
@@ -255,7 +257,9 @@ def _make_build_fn(cfg: IndexConfig, index_dir: str, max_docs_per_segment: int):
         def flush():
             nonlocal buf, buf_docs, seq
             if buf_docs:
-                rows.append(_flush_segment(cur_pid, seq, buf, cfg, index_dir))
+                rows.append(
+                    _flush_segment(cur_pid, seq, buf, cfg, index_dir, segment_prefix)
+                )
                 seq += 1
             buf, buf_docs = [], 0
 
@@ -324,11 +328,15 @@ def build_index(
     resume: bool = False,
     max_docs_per_segment: int = 1 << 20,
     only_pids: set[int] | None = None,
+    segment_prefix: str = "",
 ) -> BuildResult:
     """Build (or resume) the inverted index for ``df`` under ``index_dir``.
 
     ``only_pids`` restricts the build to a pid subset (used by tests to
-    simulate a crash between partition commits).
+    simulate a crash between partition commits). ``segment_prefix`` makes
+    segment names unique per increment (streaming micro-batches append
+    segments b{batch}-{pid}-{seq} — idempotent under batch replay because
+    names and contents are deterministic).
     """
     cfg = cfg or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
@@ -349,7 +357,7 @@ def build_index(
         df.repartition(cfg.n_partitions, F.col(PID_COL))
         .sortWithinPartitions(PID_COL, *cfg.key_cols)
     )
-    build_fn = _make_build_fn(cfg, index_dir, max_docs_per_segment)
+    build_fn = _make_build_fn(cfg, index_dir, max_docs_per_segment, segment_prefix)
     manifest = shaped.mapInPandas(build_fn, schema=MANIFEST_SCHEMA)
     manifest_rows = manifest.collect()  # small: one row per segment
 

@@ -93,6 +93,164 @@ LIMIT {k}
 """.strip()
 
 
+def _field_score_cte(
+    alias: str,
+    terms_sql: str,
+    table: str,
+    key: str,
+    text_col: str,
+    k1: float,
+    b: float,
+    quantize: bool,
+) -> str:
+    """CTE chain computing per-doc BM25 (need>=1) for one field; emits a
+    final CTE named ``{alias}`` with columns ({key}, score)."""
+    a = alias
+    if quantize:
+        dle = (
+            f"{a}_dle AS (SELECT d.{key}, COALESCE(r.dl_eff, 0.0) AS dl_eff "
+            f"FROM {a}_dl d LEFT JOIN ranges r ON d.doc_len BETWEEN r.lo AND r.hi),"
+        )
+    else:
+        dle = f"{a}_dle AS (SELECT {key}, CAST(doc_len AS DOUBLE) AS dl_eff FROM {a}_dl),"
+    return f"""
+{a}_toks AS (
+  SELECT {key}, regexp_extract_all(lower({text_col}), '{SIMPLE_TOKEN_SQL}') AS t
+  FROM {table}
+),
+{a}_dl AS (SELECT {key}, len(t) AS doc_len FROM {a}_toks),
+{dle}
+{a}_stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+  FROM {a}_dl
+),
+{a}_hits AS (
+  SELECT {key}, term, count(*) AS tf
+  FROM (SELECT {key}, unnest(t) AS term FROM {a}_toks)
+  WHERE term IN ({terms_sql})
+  GROUP BY {key}, term
+),
+{a}_ts AS (SELECT term, count(*) AS df FROM {a}_hits GROUP BY term),
+{a} AS (
+  SELECT h.{key}, sum(
+    ln(1.0 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+      * (h.tf * {k1 + 1.0})
+      / (h.tf + {k1} * (1.0 - {b} + {b} * e.dl_eff / s.avgdl))) AS score
+  FROM {a}_hits h
+  JOIN {a}_ts ts USING (term)
+  JOIN {a}_dle e USING ({key})
+  CROSS JOIN {a}_stats s
+  GROUP BY h.{key}
+)""".strip()
+
+
+def multi_match_sql(
+    terms: Sequence[str],
+    fields: Sequence[str],
+    table: str = "documents",
+    key: str = "doc_id",
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    quantize: bool = True,
+    score_decimals: int = 4,
+) -> str:
+    """DuckDB SQL mirroring multi_match_online (per-field stats, best/most
+    fields combine)."""
+    terms_sql = ",".join("'" + t.replace("'", "''") + "'" for t in terms)
+    ctes = [
+        _field_score_cte(f"f{i}", terms_sql, table, key, fld, k1, b, quantize)
+        for i, fld in enumerate(fields)
+    ]
+    ranges = _ranges_cte() if quantize else ""
+    scores = [f"COALESCE(f{i}.score, 0.0)" for i in range(len(fields))]
+    if match_type == "most_fields":
+        combine = " + ".join(scores)
+    else:
+        best = f"greatest({', '.join(scores)})" if len(scores) > 1 else scores[0]
+        total = " + ".join(scores)
+        combine = f"{best} + {tie_breaker} * (({total}) - {best})"
+    joins = "f0"
+    for i in range(1, len(fields)):
+        joins += f" FULL OUTER JOIN f{i} USING ({key})"
+    with_items = ", ".join(([ranges] if ranges else []) + ctes)
+    return f"""
+WITH {with_items}
+SELECT {key}, round({combine}, {score_decimals}) AS score
+FROM ({joins})
+ORDER BY score DESC, {key} ASC
+LIMIT {k}
+""".strip()
+
+
+def fuzzy_sql(
+    query_term: str,
+    table: str = "documents",
+    key: str = "doc_id",
+    text_col: str = "text",
+    fuzziness: int = 2,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    quantize: bool = True,
+    score_decimals: int = 4,
+) -> str:
+    """DuckDB SQL mirroring fuzzy_topk_online: dictionary expansion within
+    ``fuzziness`` edits, then disjunctive BM25 over the expansion."""
+    q = query_term.replace("'", "''").lower()
+    if quantize:
+        ranges = _ranges_cte() + ","
+        dle = (
+            f"dle AS (SELECT dl.{key}, COALESCE(r.dl_eff, 0.0) AS dl_eff "
+            f"FROM dl LEFT JOIN ranges r ON dl.doc_len BETWEEN r.lo AND r.hi),"
+        )
+    else:
+        ranges = ""
+        dle = f"dle AS (SELECT {key}, CAST(doc_len AS DOUBLE) AS dl_eff FROM dl),"
+    return f"""
+WITH toks AS (
+  SELECT {key}, regexp_extract_all(lower({text_col}), '{SIMPLE_TOKEN_SQL}') AS t
+  FROM {table}
+),
+dl AS (SELECT {key}, len(t) AS doc_len FROM toks),
+{ranges}
+{dle}
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+expanded AS (
+  SELECT DISTINCT term FROM (SELECT unnest(t) AS term FROM toks)
+  WHERE len(term) BETWEEN {max(len(q) - fuzziness, 0)} AND {len(q) + fuzziness}
+    AND levenshtein(term, '{q}') <= {fuzziness}
+),
+hits AS (
+  SELECT {key}, term, count(*) AS tf
+  FROM (SELECT {key}, unnest(t) AS term FROM toks)
+  WHERE term IN (SELECT term FROM expanded)
+  GROUP BY {key}, term
+),
+tstats AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+perdoc AS (
+  SELECT h.{key}, sum(
+    ln(1.0 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+      * (h.tf * {k1 + 1.0})
+      / (h.tf + {k1} * (1.0 - {b} + {b} * e.dl_eff / s.avgdl))) AS raw
+  FROM hits h
+  JOIN tstats ts USING (term)
+  JOIN dle e USING ({key})
+  CROSS JOIN stats s
+  GROUP BY h.{key}
+)
+SELECT {key}, round(raw, {score_decimals}) AS score
+FROM perdoc
+ORDER BY round(raw, {score_decimals}) DESC, {key} ASC
+LIMIT {k}
+""".strip()
+
+
 def bm25_phrase_sql(
     terms: Sequence[str],
     table: str = "documents",

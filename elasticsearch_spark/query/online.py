@@ -44,38 +44,20 @@ def _dl_eff_col(spark: SparkSession, df: DataFrame, quantize: bool) -> DataFrame
     return joined.withColumn("dl_eff", F.coalesce(F.col("dl_eff"), F.lit(0.0)))
 
 
-def bm25_topk_online(
+def _bm25_scores(
     spark: SparkSession,
     df: DataFrame,
-    query_text: str,
+    uniq_terms: list[str],
+    mult: dict[str, int],
+    need: int,
     key_cols: Sequence[str],
-    text_col: str = "text",
-    k: int = 10,
-    operator: str = "or",
-    minimum_should_match: int = 1,
-    analyzer: AnalyzerConfig | None = None,
-    bm25: BM25Params | None = None,
-    filter_cond: Column | None = None,
-    score_decimals: int | None = None,
+    text_col: str,
+    analyzer: AnalyzerConfig,
+    bm25: BM25Params,
 ) -> DataFrame:
-    """match-query BM25 top-k straight off the source table.
-
-    Statistics (N, avgdl, per-term df) are computed over the FULL corpus;
-    ``filter_cond`` only restricts the hit set (ES filter context — filters
-    never change scoring statistics).
-    Output: (*key_cols, score) ordered (score DESC, keys ASC), ≤ k rows.
-    """
-    analyzer = analyzer or AnalyzerConfig()
-    bm25 = bm25 or BM25Params()
+    """(keys..., score) for every doc matching ≥ need of uniq_terms — the
+    shared scoring core of match / multi_match / fuzzy online queries."""
     keys = list(key_cols)
-
-    q_tokens = tokenize_text(query_text, analyzer)
-    uniq_terms = list(dict.fromkeys(q_tokens))
-    if not uniq_terms:
-        return df.select(*keys).withColumn("score", F.lit(0.0)).where(F.lit(False))
-    need = len(uniq_terms) if operator == "and" else max(1, minimum_should_match)
-    mult = {t: q_tokens.count(t) for t in uniq_terms}
-
     toks = df.select(*keys, tokenize_column(text_col, analyzer).alias("toks"))
     docs = toks.withColumn("doc_len", F.size("toks"))
     docs = _dl_eff_col(spark, docs, bm25.quantize_norms)
@@ -124,10 +106,150 @@ def bm25_topk_online(
         F.sum("term_score").alias("score"),
         F.count(F.lit(1)).alias("n_terms_matched"),
     )
-    result = per_doc.where(F.col("n_terms_matched") >= need).drop("n_terms_matched")
+    return per_doc.where(F.col("n_terms_matched") >= need).drop("n_terms_matched")
+
+
+def bm25_topk_online(
+    spark: SparkSession,
+    df: DataFrame,
+    query_text: str,
+    key_cols: Sequence[str],
+    text_col: str = "text",
+    k: int = 10,
+    operator: str = "or",
+    minimum_should_match: int = 1,
+    analyzer: AnalyzerConfig | None = None,
+    bm25: BM25Params | None = None,
+    filter_cond: Column | None = None,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """match-query BM25 top-k straight off the source table.
+
+    Statistics (N, avgdl, per-term df) are computed over the FULL corpus;
+    ``filter_cond`` only restricts the hit set (ES filter context — filters
+    never change scoring statistics).
+    Output: (*key_cols, score) ordered (score DESC, keys ASC), ≤ k rows.
+    """
+    analyzer = analyzer or AnalyzerConfig()
+    bm25 = bm25 or BM25Params()
+    keys = list(key_cols)
+
+    q_tokens = tokenize_text(query_text, analyzer)
+    uniq_terms = list(dict.fromkeys(q_tokens))
+    if not uniq_terms:
+        return df.select(*keys).withColumn("score", F.lit(0.0)).where(F.lit(False))
+    need = len(uniq_terms) if operator == "and" else max(1, minimum_should_match)
+    mult = {t: q_tokens.count(t) for t in uniq_terms}
+
+    result = _bm25_scores(
+        spark, df, uniq_terms, mult, need, keys, text_col, analyzer, bm25
+    )
     if filter_cond is not None:
         keyed = df.where(filter_cond).select(*keys).distinct()
         result = result.join(keyed, keys, "left_semi")
+    if score_decimals is not None:
+        result = result.withColumn("score", F.round("score", score_decimals))
+    return result.orderBy(
+        F.col("score").desc(), *[F.col(c).asc() for c in keys]
+    ).limit(k)
+
+
+def multi_match_online(
+    spark: SparkSession,
+    df: DataFrame,
+    query_text: str,
+    key_cols: Sequence[str],
+    fields: Sequence[str],
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    analyzer: AnalyzerConfig | None = None,
+    bm25: BM25Params | None = None,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """multi_match over several fields (MultiMatchQuery.java semantics).
+
+    best_fields: score = max(field scores) + tie_breaker · Σ(other fields)
+    (Lucene DisjunctionMaxQuery); most_fields: score = Σ(field scores).
+    Each field keeps its own statistics (df, avgdl) like per-field Lucene
+    scoring.
+    """
+    analyzer = analyzer or AnalyzerConfig()
+    bm25 = bm25 or BM25Params()
+    keys = list(key_cols)
+    q_tokens = tokenize_text(query_text, analyzer)
+    uniq_terms = list(dict.fromkeys(q_tokens))
+    if not uniq_terms:
+        return df.select(*keys).withColumn("score", F.lit(0.0)).where(F.lit(False))
+    mult = {t: q_tokens.count(t) for t in uniq_terms}
+
+    combined = None
+    score_cols = []
+    for i, field in enumerate(fields):
+        s = _bm25_scores(
+            spark, df, uniq_terms, mult, 1, keys, field, analyzer, bm25
+        ).withColumnRenamed("score", f"__s{i}")
+        combined = s if combined is None else combined.join(s, keys, "full_outer")
+        score_cols.append(f"__s{i}")
+    filled = [F.coalesce(F.col(c), F.lit(0.0)) for c in score_cols]
+    if match_type == "most_fields":
+        total = filled[0]
+        for c in filled[1:]:
+            total = total + c
+    else:  # best_fields
+        best = F.greatest(*filled) if len(filled) > 1 else filled[0]
+        ssum = filled[0]
+        for c in filled[1:]:
+            ssum = ssum + c
+        total = best + tie_breaker * (ssum - best)
+    out = combined.withColumn("score", total).drop(*score_cols)
+    if score_decimals is not None:
+        out = out.withColumn("score", F.round("score", score_decimals))
+    return out.orderBy(
+        F.col("score").desc(), *[F.col(c).asc() for c in keys]
+    ).limit(k)
+
+
+def fuzzy_topk_online(
+    spark: SparkSession,
+    df: DataFrame,
+    query_term: str,
+    key_cols: Sequence[str],
+    text_col: str = "text",
+    fuzziness: int = 2,
+    k: int = 10,
+    analyzer: AnalyzerConfig | None = None,
+    bm25: BM25Params | None = None,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """fuzzy query: expand the term over the corpus token dictionary within
+    ``fuzziness`` edits (FuzzyQueryParser.java — Levenshtein automaton over
+    the term dict), then score the expansion as a disjunctive match query
+    (each expanded term weighted by its own idf).
+    """
+    analyzer = analyzer or AnalyzerConfig()
+    bm25 = bm25 or BM25Params()
+    keys = list(key_cols)
+    q = (tokenize_text(query_term, analyzer) or [""])[0]
+    if not q:
+        return df.select(*keys).withColumn("score", F.lit(0.0)).where(F.lit(False))
+
+    dictionary = (
+        df.select(F.explode(tokenize_column(text_col, analyzer)).alias("term"))
+        .distinct()
+        .where(
+            (F.length("term") >= len(q) - fuzziness)
+            & (F.length("term") <= len(q) + fuzziness)
+            & (F.levenshtein(F.col("term"), F.lit(q)) <= fuzziness)
+        )
+    )
+    expanded = sorted(r["term"] for r in dictionary.collect())
+    if not expanded:
+        return df.select(*keys).withColumn("score", F.lit(0.0)).where(F.lit(False))
+    result = _bm25_scores(
+        spark, df, expanded, {t: 1 for t in expanded}, 1, keys, text_col,
+        analyzer, bm25,
+    )
     if score_decimals is not None:
         result = result.withColumn("score", F.round("score", score_decimals))
     return result.orderBy(

@@ -1,0 +1,104 @@
+"""Structured-Streaming incremental index == batch index results.
+
+The NRT-refresh analog (InternalEngine.java:367-369): micro-batches append
+immutable segments; queries over the incrementally-built index must be
+rank/score-identical to a one-shot batch build over the same rows (global
+DFS statistics are refreshed per batch)."""
+
+import os
+
+import pytest
+
+from elasticsearch_spark.config import IndexConfig
+from elasticsearch_spark.fixtures import generate_transcripts
+from elasticsearch_spark.index import IndexReader, build_index
+from elasticsearch_spark.query import phrase_topk, search_topk
+from elasticsearch_spark.streaming import incremental_index
+
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string,"
+    " ts timestamp"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_transcripts(n_convs=40, seed=21)
+
+
+def test_incremental_equals_batch(spark, tmp_root, corpus):
+    cfg = IndexConfig(stored_cols=("role", "tool"), n_partitions=4)
+
+    # batch reference build
+    batch_idx = f"{tmp_root}/idx_batch_ref"
+    build_index(spark, spark.createDataFrame(corpus), batch_idx, cfg)
+
+    # stream source: three parquet "arrival" files
+    src = f"{tmp_root}/stream_src"
+    os.makedirs(src, exist_ok=True)
+    n = len(corpus)
+    for i, lo in enumerate(range(0, n, n // 3 + 1)):
+        part = corpus.iloc[lo : lo + n // 3 + 1]
+        spark.createDataFrame(part).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/chunk{i}"
+        )
+
+    stream_idx = f"{tmp_root}/idx_stream"
+    seen = []
+    q = incremental_index(
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk*"),
+        stream_idx,
+        cfg,
+        on_batch=lambda bid, n_rows: seen.append((bid, n_rows)),
+    )
+    q.awaitTermination(300)
+    assert len(seen) >= 2, seen  # really incremental (several micro-batches)
+    assert sum(r for _, r in seen) == n
+
+    a = IndexReader(spark, batch_idx)
+    b = IndexReader(spark, stream_idx)
+    assert a.n_docs == b.n_docs
+    assert abs(a.avgdl - b.avgdl) < 1e-12
+    for text, kw in [
+        ("error timeout", {}),
+        ("tok0000 tok0001", {"operator": "and"}),
+        ("tiebreak alpha", {}),
+    ]:
+        ra = [tuple(r) for r in search_topk(a, text, k=10, **kw).collect()]
+        rb = [tuple(r) for r in search_topk(b, text, k=10, **kw).collect()]
+        assert ra == rb, (text, kw)
+    pa_ = [tuple(r) for r in phrase_topk(a, "tiebreak alpha beta", k=10).collect()]
+    pb_ = [tuple(r) for r in phrase_topk(b, "tiebreak alpha beta", k=10).collect()]
+    assert pa_ == pb_
+
+
+def test_incremental_merges_bound_segments(spark, tmp_root, corpus):
+    """With a low merge threshold the stream job must compact segments."""
+    cfg = IndexConfig(stored_cols=("role",), n_partitions=4)
+    src = f"{tmp_root}/stream_src2"
+    os.makedirs(src, exist_ok=True)
+    n = len(corpus)
+    step = n // 6 + 1
+    for i, lo in enumerate(range(0, n, step)):
+        part = corpus.iloc[lo : lo + step]
+        spark.createDataFrame(part).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/chunk{i}"
+        )
+    stream_idx = f"{tmp_root}/idx_stream_merge"
+    q = incremental_index(
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk*"),
+        stream_idx,
+        cfg,
+        merge_threshold=6,
+    )
+    q.awaitTermination(300)
+    man = spark.read.parquet(f"{stream_idx}/manifest").toPandas()
+    merged = man[man["merge_fan_in"] > 1]
+    assert len(merged) >= 1  # at least one tiered merge ran
+    reader = IndexReader(spark, stream_idx)
+    assert reader.n_docs == n
+    assert search_topk(reader, "error", k=5).count() > 0
