@@ -331,6 +331,43 @@ register("bm25_phrase_slop")(  # slop semantics not SQL-expressible tersely
 )
 
 
+_QS_SQL = f"""
+WITH {_ranges_cte()},
+{_field_score_cte("f0", "'query','fast','merge'", "documents", "doc_id", "text", 1.2, 0.75, True)}
+SELECT f0.doc_id, round(f0.score, 4) AS score
+FROM f0
+WHERE f0.doc_id IN (SELECT doc_id FROM f0_toks WHERE list_contains(t, 'merge'))
+  AND f0.doc_id NOT IN (SELECT doc_id FROM f0_toks WHERE list_contains(t, 'slow'))
+ORDER BY score DESC, f0.doc_id ASC
+LIMIT 10
+""".strip()
+
+
+def _qs_query(spark, sf):
+    from elasticsearch_spark.query import query_string_search
+
+    reader = _indexed_reader(spark, sf)
+    out = query_string_search(reader, "(query OR fast) AND merge -slow", k=10)
+    return (
+        out.withColumn("score", F.round("score", 4))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+register("query_string_bool", _QS_SQL)(_qs_query)
+
+
+register("query_string_phrase_filter")(  # grammar mix — rows-only check
+    lambda spark, sf: __import__(
+        "elasticsearch_spark.query", fromlist=["x"]
+    ).query_string_search(
+        _indexed_reader(spark, sf), '"table hash" lang:en', k=10,
+        filter_fields={"lang", "source"},
+    )
+)
+
+
 register("bm25_indexed_term", bm25_topk_sql(["data"], k=10))(
     lambda spark, sf: _indexed(spark, sf, "data", k=10)
 )
@@ -999,6 +1036,42 @@ register("multimodal_features")(  # stubbed decode; schema/plumbing check
         dim=16,
     ).select("key", "media_type", "n_bytes")
 )
+
+
+_PERCOLATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), m AS (
+  SELECT doc_id, list_filter([
+    CASE WHEN list_contains(t, 'query') AND list_contains(t, 'fast') THEN 'q_and' END,
+    CASE WHEN len([i for i in range(1, greatest(len(t) - 2 + 2, 1))
+                   if t[i] = 'table' AND t[i+1] = 'hash']) > 0 THEN 'q_phrase' END,
+    CASE WHEN list_contains(t, 'scan') AND NOT list_contains(t, 'slow') THEN 'q_notslow' END
+  ], x -> x IS NOT NULL) AS matched
+  FROM toks
+)
+SELECT doc_id, unnest(matched) AS query_id FROM m WHERE len(matched) > 0
+""".strip()
+
+
+def _percolate_query(spark, sf):
+    from elasticsearch_spark.ops.percolate import percolate
+
+    out = percolate(
+        _t(spark, sf, "documents"),
+        {
+            "q_and": "query AND fast",
+            "q_phrase": '"table hash"',
+            "q_notslow": "scan -slow",
+        },
+        analyzer=SIMPLE,
+    )
+    return out.select(
+        "doc_id", F.explode("matched_queries").alias("query_id")
+    )
+
+
+register("percolate_queries", _PERCOLATE_SQL)(_percolate_query)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

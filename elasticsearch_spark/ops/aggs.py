@@ -58,6 +58,37 @@ def value_count(df: DataFrame, col: str, by: Sequence[str] | None = None) -> Dat
     return _grouped(df, by).agg(F.count(col).alias("value_count"))
 
 
+def percentile_ranks(
+    df: DataFrame,
+    col: str,
+    values: Sequence[float],
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """PercentileRanksAggregator semantics: for each given value v, the
+    percentage of observed values ≤ v (exact — the reference's T-Digest is an
+    approximation of this)."""
+    aggs = [
+        (F.avg(F.when(F.col(col) <= float(v), 1.0).otherwise(0.0)) * 100.0).alias(
+            f"rank_{str(v).replace('.', '_')}"
+        )
+        for v in values
+    ]
+    return _grouped(df, by).agg(*aggs)
+
+
+def scripted_metric(
+    df: DataFrame,
+    by: Sequence[str],
+    map_reduce_fn,
+    schema: str,
+) -> DataFrame:
+    """ScriptedMetricAggregator.java (init/map/combine/reduce user scripts)
+    → ``groupBy(...).applyInPandas``: the callable receives each group as a
+    pandas DataFrame (map+combine fused — Spark feeds whole groups) and
+    returns the reduced rows. Arrow-batched; no per-row Python."""
+    return df.groupBy(*by).applyInPandas(map_reduce_fn, schema)
+
+
 def cardinality(
     df: DataFrame, col: str, by: Sequence[str] | None = None, exact: bool = False, rsd: float = 0.01
 ) -> DataFrame:

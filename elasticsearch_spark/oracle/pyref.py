@@ -181,6 +181,102 @@ class PyRefEngine:
         hits.sort(key=lambda kv: (-kv[1], kv[0]))
         return hits[:k]
 
+    def query_string(
+        self,
+        q: str,
+        k: int = 10,
+        minimum_should_match: int = 1,
+    ) -> list[tuple[Any, float]]:
+        """query_string oracle — same grammar/scoring contract as
+        query/ast.py + executor._segment_bool_scorer (BooleanQuery sum of
+        matching positive clauses; must required; must_not excludes; keyword
+        filters non-scoring)."""
+        from elasticsearch_spark.query.ast import parse_query_string
+
+        pq = parse_query_string(q, lambda s: tokenize_text(s, self.analyzer))
+
+        def passes_filters(key) -> bool:
+            doc = self.docs[key]
+            for fld, op, val in pq.filters:
+                dv = doc.get(fld)
+                if dv is None:
+                    return False
+                if op == "eq" and str(dv) != str(val):
+                    return False
+                if op == "gte" and not (dv >= val):
+                    return False
+                if op == "lte" and not (dv <= val):
+                    return False
+            return True
+
+        has_must = any(c.occur == "must" for c in pq.clauses)
+        hits = []
+        for key in self.doc_len:
+            score = 0.0
+            must_ok = True
+            n_should = 0
+            banned = False
+            any_positive = False
+            for c in pq.clauses:
+                if c.phrase is not None:
+                    if any(not self.postings.get(t) for t in c.phrase):
+                        if c.occur == "must":
+                            must_ok = False
+                        continue
+                    anchors = list(self.positions[c.phrase[0]].get(key, []))
+                    for i, t in enumerate(c.phrase[1:], start=1):
+                        plist = self.positions[t].get(key, [])
+                        if c.slop == 0:
+                            pset = {p - i for p in plist}
+                            anchors = [p for p in anchors if p in pset]
+                        else:
+                            anchors = [
+                                p for p in anchors
+                                if any(abs((q2 - i) - p) <= c.slop for q2 in plist)
+                            ]
+                        if not anchors:
+                            break
+                    freq = len(anchors)
+                    matched = freq > 0
+                    if matched:
+                        sum_idf = sum(self.idf(t) for t in c.phrase)
+                        k1, b = self.bm25.k1, self.bm25.b
+                        dle = self._dl_eff(key)
+                        contrib = sum_idf * freq * (k1 + 1.0) / (
+                            freq + k1 * (1.0 - b + b * dle / self.avgdl)
+                        )
+                    else:
+                        contrib = 0.0
+                else:
+                    present = [t for t in c.terms if self.postings.get(t)]
+                    if not present:
+                        if c.occur == "must":
+                            must_ok = False
+                        continue
+                    contrib = sum(self.term_score(t, key) for t in present)
+                    matched = contrib > 0.0
+                if c.occur == "must_not":
+                    banned = banned or matched
+                elif c.occur == "must":
+                    must_ok = must_ok and matched
+                    score += contrib
+                    any_positive = True
+                else:
+                    n_should += int(matched)
+                    score += contrib
+                    any_positive = True
+            if banned or not any_positive or score <= 0.0:
+                continue
+            if has_must and not must_ok:
+                continue
+            if not has_must and n_should < max(1, minimum_should_match):
+                continue
+            if not passes_filters(key):
+                continue
+            hits.append((key, score))
+        hits.sort(key=lambda kv: (-kv[1], kv[0]))
+        return hits[:k]
+
     def term_query(self, term: str, k: int = 10, filter_fn=None) -> list[tuple[Any, float]]:
         """Single-term query, no analysis (TermQueryParser.java semantics)."""
         hits = [

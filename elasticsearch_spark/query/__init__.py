@@ -1,4 +1,19 @@
-from elasticsearch_spark.query.executor import phrase_topk, search_topk
-from elasticsearch_spark.query.online import bm25_topk_online
+from elasticsearch_spark.query.executor import (
+    phrase_topk,
+    query_string_search,
+    search_topk,
+)
+from elasticsearch_spark.query.online import (
+    bm25_topk_online,
+    fuzzy_topk_online,
+    multi_match_online,
+)
 
-__all__ = ["search_topk", "phrase_topk", "bm25_topk_online"]
+__all__ = [
+    "search_topk",
+    "phrase_topk",
+    "query_string_search",
+    "bm25_topk_online",
+    "multi_match_online",
+    "fuzzy_topk_online",
+]

@@ -410,6 +410,242 @@ def _segment_phrase_scorer(
     return score_fn
 
 
+def query_string_search(
+    reader: IndexReader,
+    query: str,
+    k: int = 10,
+    minimum_should_match: int = 1,
+    filter_cond: Column | None = None,
+    extra_cols: Iterable[str] = (),
+    mode: str = "auto",
+    local_postings_limit: int = 2_000_000,
+    filter_fields: frozenset[str] | set[str] = frozenset(
+        {"role", "tool", "conv_id", "ts"}
+    ),
+) -> DataFrame:
+    """Lucene-syntax query_string execution (QueryStringQueryParser.java
+    subset — see query/ast.py for the grammar and the scoring contract).
+
+    Keyword-field / range sub-clauses (``filter_fields`` — must be stored
+    columns of the index) become filter context; the scored tree is
+    flattened to BooleanQuery clauses executed by the general bool scorer.
+    """
+    from elasticsearch_spark.query.ast import parse_query_string
+
+    cfg = reader.cfg
+    pq = parse_query_string(
+        query, lambda s: tokenize_text(s, cfg.analyzer), set(filter_fields)
+    )
+    parsed_filter = pq.filter_cond()
+    if parsed_filter is not None:
+        filter_cond = (
+            parsed_filter if filter_cond is None else (filter_cond & parsed_filter)
+        )
+    if not pq.clauses:
+        if filter_cond is None:
+            return _empty_result(reader, extra_cols)
+        # pure filter query: constant score 1.0, key-ordered (filtered
+        # match_all — ConstantScoreQuery semantics)
+        out = (
+            reader.docs()
+            .where(filter_cond)
+            .select(*cfg.key_cols, *extra_cols)
+            .withColumn("score", F.lit(1.0))
+            .orderBy(*[F.col(c).asc() for c in cfg.key_cols])
+            .limit(k)
+        )
+        return out
+
+    all_terms = sorted(
+        {t for c in pq.clauses for t in (c.terms or [])}
+        | {t for c in pq.clauses if c.phrase for t in c.phrase}
+    )
+    stats = reader.query_term_stats(all_terms)
+    n = reader.n_docs
+
+    prepared = []  # (occur, kind, payload)
+    for c in pq.clauses:
+        if c.phrase is not None:
+            missing = [t for t in c.phrase if stats.get(t, (0, 0))[0] == 0]
+            if missing:
+                if c.occur == "must":
+                    return _empty_result(reader, extra_cols)
+                continue  # unmatched optional/prohibited phrase: no effect
+            sum_idf = float(sum(lucene_idf(n, stats[t][0]) for t in c.phrase))
+            prepared.append((c.occur, "phrase", (c.phrase, c.slop, sum_idf)))
+        else:
+            present = [t for t in c.terms if stats.get(t, (0, 0))[0] > 0]
+            if not present:
+                if c.occur == "must":
+                    return _empty_result(reader, extra_cols)
+                continue
+            weights = {t: lucene_idf(n, stats[t][0]) for t in present}
+            prepared.append((c.occur, "terms", weights))
+    if not any(occ != "must_not" for occ, _, _ in prepared):
+        return _empty_result(reader, extra_cols)
+
+    score_fn = _segment_bool_scorer(
+        prepared, minimum_should_match, k, cfg.bm25.k1, cfg.bm25.b,
+        reader.avgdl, cfg.bm25.quantize_norms,
+    )
+    needed = sorted(
+        {t for occ, kind, p in prepared
+         for t in (p[0] if kind == "phrase" else p.keys())}
+    )
+    est = sum(stats.get(t, (0, 0))[0] for t in needed)
+    needs_pos = any(kind == "phrase" for _, kind, _ in prepared)
+    cols = _PHRASE_COLUMNS if needs_pos else _MATCH_COLUMNS
+    return _execute(
+        reader, score_fn, needed, k, filter_cond, list(extra_cols), mode, est,
+        local_postings_limit, cols,
+    )
+
+
+def _segment_bool_scorer(
+    prepared: list,
+    msm: int,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    quantize: bool,
+):
+    """General BooleanQuery scorer: clause = any-of term set or a phrase.
+
+    score(doc) = Σ over matching positive clauses of their BM25
+    contributions (every matching term counts — Lucene BooleanQuery sums all
+    matching SHOULD/MUST sub-scorers); must clauses required, must_not
+    exclude, msm applies only when no must clause exists (BooleanQuery
+    default minimumNumberShouldMatch behavior)."""
+    SHIFT = 22
+    has_must = any(occ == "must" for occ, _, _ in prepared)
+
+    def score_fn(post: pd.DataFrame, aux: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "local_doc_id": pd.Series([], dtype="int32"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        if post.empty or aux.empty:
+            return empty
+        n_docs = int(aux["n_docs"].iloc[0])
+        doc_lens = np.frombuffer(aux["doc_len_packed"].iloc[0], dtype=np.uint32)
+        dl_eff = effective_doc_length(doc_lens, quantize=quantize)
+        allowed = None
+        if "allowed_ids" in aux.columns:
+            allowed_ids = np.asarray(aux["allowed_ids"].iloc[0], dtype=np.int64)
+            allowed = np.zeros(n_docs, dtype=bool)
+            allowed[allowed_ids] = True
+
+        post = post.sort_values(["term", "first_doc"])
+        by_term = {t: g for t, g in post.groupby("term", sort=False)}
+        c0 = k1 * (1.0 - b)
+        c1 = k1 * b / avgdl
+        term_cache: dict[str, tuple] = {}
+
+        def decoded(t, with_pos):
+            key = (t, with_pos)
+            if key not in term_cache:
+                g = by_term.get(t)
+                if g is None:
+                    term_cache[key] = None
+                elif with_pos:
+                    term_cache[key] = _decode_term_pos(g)
+                else:
+                    term_cache[key] = _decode_term(g)
+            return term_cache[key]
+
+        score = np.zeros(n_docs, dtype=np.float64)
+        must_ok = np.ones(n_docs, dtype=bool) if has_must else None
+        n_should = np.zeros(n_docs, dtype=np.int32)
+        banned = np.zeros(n_docs, dtype=bool)
+        any_positive = False
+
+        for occ, kind, payload in prepared:
+            matched = np.zeros(n_docs, dtype=bool)
+            contrib = np.zeros(n_docs, dtype=np.float64)
+            if kind == "terms":
+                for t, w in payload.items():
+                    dec = decoded(t, False)
+                    if dec is None:
+                        continue
+                    docs, tfs = dec
+                    tfn = (tfs * (k1 + 1.0)) / (tfs + c0 + c1 * dl_eff[docs])
+                    contrib[docs] += w * tfn
+                    matched[docs] = True
+            else:  # phrase
+                tokens, slop, sum_idf = payload
+                anchors = None
+                dead = False
+                for i, t in enumerate(tokens):
+                    dec = decoded(t, True)
+                    if dec is None:
+                        dead = True
+                        break
+                    docs, tfs, pos = dec
+                    doc_of_pos = np.repeat(docs, tfs.astype(np.int64))
+                    adj = pos.astype(np.int64) - i
+                    valid = adj >= 0
+                    keys = (doc_of_pos[valid] << SHIFT) + adj[valid]
+                    if anchors is None:
+                        anchors = keys
+                    elif slop == 0:
+                        anchors = np.intersect1d(anchors, keys, assume_unique=True)
+                    else:
+                        if anchors.size == 0 or keys.size == 0:
+                            anchors = np.array([], dtype=np.int64)
+                            break
+                        idx = np.searchsorted(keys, anchors)
+                        left = np.abs(keys[np.clip(idx - 1, 0, keys.size - 1)] - anchors)
+                        right = np.abs(keys[np.clip(idx, 0, keys.size - 1)] - anchors)
+                        anchors = anchors[np.minimum(left, right) <= slop]
+                if not dead and anchors is not None and anchors.size:
+                    udocs, freqs = np.unique(
+                        (anchors >> SHIFT).astype(np.int64), return_counts=True
+                    )
+                    f = freqs.astype(np.float64)
+                    contrib[udocs] = sum_idf * (f * (k1 + 1.0)) / (
+                        f + c0 + c1 * dl_eff[udocs]
+                    )
+                    matched[udocs] = True
+
+            if occ == "must_not":
+                banned |= matched
+            elif occ == "must":
+                must_ok &= matched
+                score += contrib
+                any_positive = True
+            else:
+                n_should += matched.astype(np.int32)
+                score += contrib
+                any_positive = True
+
+        if not any_positive:
+            return empty
+        mask = ~banned
+        if has_must:
+            mask &= must_ok
+        else:
+            mask &= n_should >= max(1, msm)
+        if allowed is not None:
+            mask &= allowed
+        cand = np.flatnonzero(mask & (score > 0.0))
+        if cand.size == 0:
+            return empty
+        cscores = score[cand]
+        if cand.size > k:
+            part = np.argpartition(-cscores, k - 1)
+            theta = cscores[part[k - 1]]
+            sel = cscores >= theta
+            cand, cscores = cand[sel], cscores[sel]
+        order = np.lexsort((cand, -cscores))
+        cand, cscores = cand[order], cscores[order]
+        return pd.DataFrame({"local_doc_id": cand.astype(np.int32), "score": cscores})
+
+    return score_fn
+
+
 def _decode_term_pos(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one term's blocks → (doc_ids, tfs, absolute positions flat).
 
@@ -458,12 +694,26 @@ def _execute(
 
     if mode == "local" or (
         mode == "auto"
-        and filter_cond is None
         and est_postings <= local_postings_limit
         and not reader.index_dir.startswith(("s3://", "hdfs://", "gs://", "abfs"))
     ):
+        allowed_map = None
+        if filter_cond is not None:
+            # one narrow Spark job: per-segment allowed-doc sets (the filter
+            # bitsets); tiny result, collected to the driver
+            allowed_map = {
+                r["segment_id"]: r["allowed_ids"]
+                for r in reader.docs()
+                .where(filter_cond)
+                .groupBy("segment_id")
+                .agg(
+                    F.sort_array(F.collect_list("local_doc_id")).alias("allowed_ids")
+                )
+                .collect()
+            }
         local = _local_search(
-            reader, score_fn, present, key_cols, extra_cols, k, columns
+            reader, score_fn, present, key_cols, extra_cols, k, columns,
+            allowed_map,
         )
         if local is not None:
             return local
@@ -523,7 +773,8 @@ def _execute(
     return reader.spark.createDataFrame(fetched, schema=out_schema)
 
 
-def _local_search(reader, score_fn, present, key_cols, extra_cols, k, columns=None):
+def _local_search(reader, score_fn, present, key_cols, extra_cols, k,
+                  columns=None, allowed_map=None):
     """Driver-local query execution: same numpy scorer, pyarrow-pruned reads.
 
     The per-segment loop below is the exact computation each executor runs in
@@ -558,6 +809,10 @@ def _local_search(reader, score_fn, present, key_cols, extra_cols, k, columns=No
     rows = []
     for seg, g in post.groupby("segment_id", sort=False):
         aux = norms[norms["segment_id"] == seg][["n_docs", "doc_len_packed"]]
+        if allowed_map is not None:
+            if seg not in allowed_map:
+                continue  # no doc in this segment passes the filter
+            aux = aux.assign(allowed_ids=[allowed_map[seg]])
         out = score_fn(g, aux)
         for ldoc, sc in zip(out["local_doc_id"], out["score"]):
             rows.append({"segment_id": seg, "local_doc_id": int(ldoc), "score": float(sc)})

@@ -17,22 +17,31 @@ def get_spark(
     cores: int | str = "*",
     shuffle_partitions: int = 32,
     app_name: str = "elasticsearch_spark",
+    master: str | None = None,
 ) -> SparkSession:
+    """SparkSession on local[cores], or any explicit ``master`` — e.g.
+    ``local-cluster[4,8,8192]`` for multi-executor (separate JVM) runs used
+    by the scaling evidence."""
     # make the package importable in python workers
     existing = os.environ.get("PYTHONPATH", "")
     if _REPO_ROOT not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = (
             _REPO_ROOT + (os.pathsep + existing if existing else "")
         )
+    if master and master.startswith("local-cluster"):
+        os.environ.setdefault("SPARK_HOME", os.path.dirname(
+            __import__("pyspark").__file__))
     return (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local-mode driver hosts all task threads — at 32 threads an 8g heap
+        # GC-thrashes (measured 3x slowdown); size generously
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .getOrCreate()

@@ -1,0 +1,122 @@
+"""Physical-plan audit: assert the plans we designed for are the plans we get.
+
+Checks, via .explain output (no job execution):
+  - postings term lookup: parquet PushedFilters carries the term predicate
+    (row-group pruning on the term-sorted layout)
+  - doc fetch/filter: partition pruning on segment_id + pushed column filter
+  - small-dim joins: BroadcastHashJoin, not SortMergeJoin
+  - hot paths sit inside WholeStageCodegen spans
+  - online BM25: one shuffle per aggregation level, no cartesian products
+Run: python scripts/plan_audit.py [sf_dir]  → prints PASS/FAIL lines.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from elasticsearch_spark import entry_queries  # noqa: E402
+from elasticsearch_spark.session import get_spark  # noqa: E402
+
+FAILS = []
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def check(name: str, plan: str, must: list[str] = (), must_not: list[str] = ()):
+    ok = True
+    for m in must:
+        if m.lower() not in plan.lower():
+            FAILS.append((name, f"missing: {m}"))
+            ok = False
+    for m in must_not:
+        if m.lower() in plan.lower():
+            FAILS.append((name, f"present: {m}"))
+            ok = False
+    print(("PASS  " if ok else "FAIL  ") + name)
+    return plan
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(cores=4, shuffle_partitions=8, app_name="plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    reader = entry_queries._indexed_reader(spark, sf)
+
+    # 1. postings term lookup → pushed filter on term
+    p = reader.postings().where(F.col("term").isin(["data", "query"]))
+    check("postings_term_pushdown", plan_of(p), must=["PushedFilters: [In(term"])
+
+    # 2. docs filter → pushed + partition-pruned scan, pruned columns
+    d = (
+        reader.docs()
+        .where((F.col("segment_id") == "00000-000") & (F.col("lang") == "en"))
+        .select("local_doc_id")
+    )
+    check(
+        "docs_filter_pushdown",
+        plan_of(d),
+        must=["EqualTo(lang,en)"],
+        must_not=["doc_len_packed"],  # column pruning: only needed cols read
+    )
+
+    # 3. terms-lookup join → broadcast, codegen
+    li = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+    sup = spark.read.parquet(os.path.join(sf, "supplier.parquet"))
+    j = li.join(
+        F.broadcast(sup.where(F.col("s_nationkey") == 3).select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    check(
+        "terms_lookup_broadcast",
+        plan_of(j),
+        must=["BroadcastHashJoin", "WholeStageCodegen"],
+        must_not=["SortMergeJoin", "CartesianProduct"],
+    )
+
+    # 4. online BM25 plan: broadcasted stats joins, no cartesian
+    q = entry_queries._online(spark, sf, "data query", k=10)
+    check(
+        "online_bm25_shape",
+        plan_of(q),
+        must=["BroadcastHashJoin", "HashAggregate", "TakeOrderedAndProject"],
+        must_not=["CartesianProduct"],
+    )
+
+    # 5. lineitem agg: partial/final hash agg in codegen, projection pruned
+    a = (
+        li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    pa_ = check(
+        "agg_partial_final",
+        plan_of(a),
+        must=["HashAggregate", "WholeStageCodegen"],
+    )
+    if "ReadSchema" in pa_ and "l_extendedprice" in pa_:
+        FAILS.append(("agg_partial_final", "scan reads unneeded columns"))
+        print("FAIL  agg_partial_final (column pruning)")
+
+    print()
+    if FAILS:
+        for n, why in FAILS:
+            print("FAIL:", n, "—", why)
+        sys.exit(1)
+    print("ALL PLAN CHECKS PASS")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,19 +35,29 @@ N_PARTITIONS = 64  # identical layout at both parallelism levels
 
 
 def main() -> None:
-    cores = int(sys.argv[1])
+    # spec: plain int -> local[N]; "ExC" -> local-cluster[E,C,8192]
+    # (E separate executor JVMs with C cores each — the faithful
+    # N-vs-4N-executors emulation)
+    spec = sys.argv[1]
     n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 8000
-    out_path = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/scaling_{cores}.json"
+    out_path = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/scaling_{spec}.json"
 
+    if "x" in spec:
+        n_exec, c_exec = (int(v) for v in spec.split("x"))
+        master = f"local-cluster[{n_exec},{c_exec},8192]"
+        cores = n_exec * c_exec
+    else:
+        cores = int(spec)
+        master = None
     spark = get_spark(cores=cores, shuffle_partitions=N_PARTITIONS,
-                      app_name=f"scaling_{cores}")
+                      app_name=f"scaling_{spec}", master=master)
     spark.sparkContext.setLogLevel("ERROR")
 
     pdf = generate_transcripts(n_convs=n_convs, seed=42)
     turns = spark.createDataFrame(pdf).cache()
     n_turns = turns.count()
 
-    idx_dir = f"/tmp/es_spark_scaling/idx_c{cores}"
+    idx_dir = f"/tmp/es_spark_scaling/idx_c{spec}"
     shutil.rmtree(idx_dir, ignore_errors=True)
     cfg = IndexConfig(
         stored_cols=("role", "tool", "ts"),
@@ -74,6 +84,8 @@ def main() -> None:
         secs.append(time.perf_counter() - t0)
 
     result = {
+        "spec": spec,
+        "master": master or f"local[{cores}]",
         "cores": cores,
         "n_turns": int(n_turns),
         "n_partitions": N_PARTITIONS,
