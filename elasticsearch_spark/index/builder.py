@@ -359,7 +359,11 @@ def build_index(
     )
     build_fn = _make_build_fn(cfg, index_dir, max_docs_per_segment, segment_prefix)
     manifest = shaped.mapInPandas(build_fn, schema=MANIFEST_SCHEMA)
+    import time as _time
+
+    t0 = _time.perf_counter()
     manifest_rows = manifest.collect()  # small: one row per segment
+    t_segments = _time.perf_counter() - t0
 
     # commit manifest (translog/commit-point analog) — append mode for resume
     mpath = os.path.join(index_dir, "manifest")
@@ -367,25 +371,45 @@ def build_index(
         spark.createDataFrame(manifest_rows, schema=MANIFEST_SCHEMA).coalesce(1) \
             .write.mode("append").parquet(mpath)
 
-    # global DFS statistics: one small groupBy over per-segment term stats
-    _write_global_stats(spark, index_dir, cfg)
+    # global DFS statistics: one small groupBy over per-segment term stats.
+    # Corpus totals come from the manifest rows already on the driver — no
+    # extra Spark jobs (serial-fraction discipline: besides the segment
+    # build itself, the only remaining job is the termstats groupBy).
+    if resume or segment_prefix:
+        man = spark.read.parquet(mpath).toPandas()
+        superseded = set(man.loc[man["status"] == "superseded", "segment_id"])
+        man = man[
+            (man["status"] == "committed") & ~man["segment_id"].isin(superseded)
+        ]
+        n_docs = int(man["docs_indexed"].sum())
+        total_tokens = int(man["sum_doc_len"].sum())
+        n_segments = int(len(man))
+    else:
+        n_docs = sum(r["docs_indexed"] for r in manifest_rows)
+        total_tokens = sum(r["sum_doc_len"] for r in manifest_rows)
+        n_segments = len(manifest_rows)
+    t0 = _time.perf_counter()
+    _write_global_stats(spark, index_dir, cfg, n_docs, total_tokens)
+    t_stats = _time.perf_counter() - t0
+    if os.environ.get("ES_SPARK_BUILD_TIMINGS"):
+        print(f"[build] segments={t_segments:.2f}s stats={t_stats:.2f}s")
 
-    man = spark.read.parquet(mpath)
-    agg = man.agg(
-        F.sum("docs_indexed").alias("docs"),
-        F.sum("sum_doc_len").alias("tokens"),
-        F.count("*").alias("segs"),
-    ).collect()[0]
     return BuildResult(
         index_dir=index_dir,
-        n_docs=agg["docs"] or 0,
-        total_tokens=agg["tokens"] or 0,
-        n_segments=agg["segs"],
+        n_docs=n_docs,
+        total_tokens=total_tokens,
+        n_segments=n_segments,
         n_partitions=cfg.n_partitions,
     )
 
 
-def _write_global_stats(spark: SparkSession, index_dir: str, cfg: IndexConfig) -> None:
+def _write_global_stats(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: IndexConfig,
+    n_docs: int,
+    total_tokens: int,
+) -> None:
     segterms = spark.read.parquet(os.path.join(index_dir, "segterms"))
     stats = (
         segterms.groupBy("term")
@@ -405,12 +429,6 @@ def _write_global_stats(spark: SparkSession, index_dir: str, cfg: IndexConfig) -
         shutil.rmtree(out)
     os.replace(tmp, out)
 
-    norms = spark.read.parquet(os.path.join(index_dir, "norms"))
-    g = norms.agg(
-        F.sum("n_docs").alias("n"), F.sum("sum_doc_len").alias("tok")
-    ).collect()[0]
-    n_docs = g["n"] or 0
-    total_tokens = g["tok"] or 0
     meta = {
         "n_docs": int(n_docs),
         "total_tokens": int(total_tokens),
