@@ -128,6 +128,119 @@ def analyze_series(s: pd.Series, cfg: AnalyzerConfig | None = None) -> pd.Series
     return toks
 
 
+def analyze_flat(s: pd.Series, cfg: AnalyzerConfig | None = None):
+    """Builder hot path: analyze a string Series → (flat token object array,
+    per-doc token counts int64 array).
+
+    Same token semantics as analyze_series/tokenize_text (asserted in
+    tests), but all per-token work (lowercase, long-token chunking) runs as
+    single C passes over the FLATTENED array instead of per-row lambdas —
+    ~2x faster and far less allocation churn.
+    """
+    import numpy as np
+
+    cfg = cfg or AnalyzerConfig()
+    if cfg.stopwords or cfg.kind not in ("standard", "simple", "whitespace"):
+        # uncommon configs take the reference path
+        toks = analyze_series(s, cfg)
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = (
+            np.concatenate([np.asarray(t, dtype=object) for t in toks.to_numpy()])
+            if len(s) and lens.sum()
+            else np.array([], dtype=object)
+        )
+        return flat, lens
+
+    s = s.fillna("")
+    if cfg.kind == "standard":
+        toks = s.str.findall(_STANDARD_RE)
+    elif cfg.kind == "simple":
+        toks = s.str.lower().str.findall(_SIMPLE_RE)
+    else:  # whitespace
+        toks = s.str.findall(_WHITESPACE_RE)
+    lens = toks.str.len().to_numpy(np.int64)
+    flat = (
+        np.concatenate([np.asarray(t, dtype=object) for t in toks.to_numpy()])
+        if len(s) and lens.sum()
+        else np.array([], dtype=object)
+    )
+    if len(flat):
+        fs = pd.Series(flat, dtype=object)
+        ml = cfg.max_token_length
+        if ml:
+            tok_lens = fs.str.len().to_numpy(np.int64)
+            long_idx = np.flatnonzero(tok_lens > ml)
+            if long_idx.size:  # rare: rebuild affected docs' token lists
+                doc_of_tok = np.repeat(np.arange(len(lens)), lens)
+                bad_docs = np.unique(doc_of_tok[long_idx])
+                starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                parts, cursor = [], 0
+                for d in bad_docs:
+                    lo, hi = starts[d], starts[d] + lens[d]
+                    parts.append(flat[cursor:lo])
+                    fixed = _chunk_long(list(flat[lo:hi]), ml)
+                    parts.append(np.asarray(fixed, dtype=object))
+                    lens[d] = len(fixed)
+                    cursor = hi
+                parts.append(flat[cursor:])
+                flat = np.concatenate(parts)
+                fs = pd.Series(flat, dtype=object)
+        if cfg.kind == "standard" and cfg.lowercase:
+            flat = fs.str.lower().to_numpy(dtype=object)
+    return flat, lens
+
+
+def analyze_codes(s: pd.Series, cfg: AnalyzerConfig | None = None):
+    """Fastest builder path: analyze → factorized token codes.
+
+    Returns (codes int64 per occurrence, uniques object array of normalized
+    terms, per-doc counts). Per-token normalization (lowercase) runs over the
+    VOCABULARY, not the occurrences: factorize raw tokens, lowercase the
+    uniques, re-factorize the lowered uniques and remap — O(vocab) python
+    instead of O(tokens). Long-token chunking (>max_token_length, rare)
+    falls back to the exact per-token path for the whole batch because a
+    split changes token counts/positions.
+    """
+    import numpy as np
+
+    cfg = cfg or AnalyzerConfig()
+
+    def slow():
+        flat, lens = analyze_flat(s, cfg)
+        codes, uniques = pd.factorize(flat)
+        return codes, np.asarray(uniques, dtype=object), lens
+
+    if cfg.stopwords or cfg.kind not in ("standard", "simple", "whitespace"):
+        return slow()
+
+    sf = s.fillna("")
+    if cfg.kind == "standard":
+        toks = sf.str.findall(_STANDARD_RE)
+    elif cfg.kind == "simple":
+        toks = sf.str.lower().str.findall(_SIMPLE_RE)
+    else:
+        toks = sf.str.findall(_WHITESPACE_RE)
+    lens = toks.str.len().to_numpy(np.int64)
+    flat = (
+        np.concatenate([np.asarray(t, dtype=object) for t in toks.to_numpy()])
+        if len(sf) and lens.sum()
+        else np.array([], dtype=object)
+    )
+    codes, uniques = pd.factorize(flat)
+    uniques = np.asarray(uniques, dtype=object)
+    if cfg.kind == "standard":
+        ml = cfg.max_token_length
+        if ml and len(uniques) and any(len(u) > ml for u in uniques):
+            return slow()
+        if cfg.lowercase and len(uniques):
+            low_codes, low_uniques = pd.factorize(
+                np.array([u.lower() for u in uniques], dtype=object)
+            )
+            codes = low_codes[codes] if len(codes) else codes
+            uniques = np.asarray(low_uniques, dtype=object)
+    return codes, uniques, lens
+
+
 def sql_tokenize_expr(col: str, cfg: AnalyzerConfig) -> str | None:
     """Native Spark SQL expression for analyzers that need no Python.
 

@@ -1038,6 +1038,34 @@ register("multimodal_features")(  # stubbed decode; schema/plumbing check
 )
 
 
+# aggregations computed over the hit set of a query — the reference's main
+# request shape: query + aggs in one pass (AggregationPhase.java:79-126)
+_HITS_AGG_SQL = f"""
+WITH hits AS (
+{bm25_topk_sql(["table", "scan"], k=100)}
+)
+SELECT d.lang, count(*) AS doc_count, round(avg(h.score), 4) AS avg_score
+FROM hits h JOIN documents d USING (doc_id)
+GROUP BY d.lang
+""".strip()
+
+
+def _hits_agg_query(spark, sf):
+    docs = _t(spark, sf, "documents")
+    hits = _online(spark, sf, "table scan", k=100)
+    return (
+        hits.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+    )
+
+
+register("search_then_aggs", _HITS_AGG_SQL)(_hits_agg_query)
+
+
 _PERCOLATE_SQL = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents

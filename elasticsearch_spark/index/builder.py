@@ -44,7 +44,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from elasticsearch_spark.analysis.analyzers import analyze_series
+from elasticsearch_spark.analysis.analyzers import analyze_codes
 from elasticsearch_spark.config import IndexConfig
 from elasticsearch_spark.functions.smallfloat import effective_doc_length
 from elasticsearch_spark.index.codec import delta_encode, pack_u32
@@ -90,8 +90,7 @@ def _flush_segment(
     seg = f"{segment_prefix}{pid:05d}-{seq:03d}"
     n_docs = len(pdf)
 
-    tokens = analyze_series(pdf[cfg.text_col], cfg.analyzer)
-    doc_len = tokens.str.len().to_numpy(dtype=np.int64)
+    codes, uniques, doc_len = analyze_codes(pdf[cfg.text_col], cfg.analyzer)
     dl_eff = effective_doc_length(doc_len, quantize=cfg.bm25.quantize_norms)
 
     # exploded (local_doc_id, term, position) triples — vectorized
@@ -99,25 +98,29 @@ def _flush_segment(
     doc_rep = np.repeat(np.arange(n_docs, dtype=np.uint32), lens)
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if n_docs else np.array([], dtype=np.int64)
     pos_rep = (np.arange(int(lens.sum())) - np.repeat(starts, lens)).astype(np.uint32)
-    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tokens.to_numpy()]) \
-        if n_docs else np.array([], dtype=object)
-    # sort by (term, doc, pos): tf = run length per (term, doc); positions
-    # stay ascending inside each run (Lucene .pos file order)
-    ed = pd.DataFrame({"term": flat_terms, "doc": doc_rep, "pos": pos_rep})
-    ed = ed.sort_values(["term", "doc", "pos"], kind="mergesort", ignore_index=True)
-    s_terms = ed["term"].to_numpy()
-    s_docs = ed["doc"].to_numpy(dtype=np.uint32)
-    s_pos = ed["pos"].to_numpy(dtype=np.uint32)
-    n_flat = len(ed)
+    # sort by (term, doc, pos) entirely in integer space: token codes ranked
+    # by lexicographic term order, then one lexsort — several times faster
+    # (and far more memory-bandwidth-friendly) than an object sort;
+    # tf = run length per (term, doc), positions stay ascending inside runs
+    # (Lucene .pos file order)
+    order = np.argsort(uniques)
+    rank_of_code = np.empty(len(uniques), dtype=np.int64)
+    rank_of_code[order] = np.arange(len(uniques))
+    term_rank = rank_of_code[codes] if len(codes) else np.array([], np.int64)
+    sort_idx = np.lexsort((pos_rep, doc_rep, term_rank))
+    s_rank = term_rank[sort_idx]
+    s_docs = doc_rep[sort_idx]
+    s_pos = pos_rep[sort_idx]
+    n_flat = len(sort_idx)
     if n_flat:
         new_grp = np.empty(n_flat, dtype=bool)
         new_grp[0] = True
-        new_grp[1:] = (s_terms[1:] != s_terms[:-1]) | (s_docs[1:] != s_docs[:-1])
+        new_grp[1:] = (s_rank[1:] != s_rank[:-1]) | (s_docs[1:] != s_docs[:-1])
         gstarts = np.flatnonzero(new_grp)
     else:
         gstarts = np.array([], dtype=np.int64)
     gends = np.append(gstarts[1:], n_flat)
-    terms_arr = s_terms[gstarts]
+    ranks_arr = s_rank[gstarts]
     docs_arr = s_docs[gstarts]
     tfs_arr = (gends - gstarts).astype(np.uint32)
     # per-doc-group delta-encoded positions (flat, group-aligned)
@@ -128,9 +131,15 @@ def _flush_segment(
     # entry -> flat-position offset of the entry's first position
     entry_off = gstarts
 
-    # term boundaries (terms_arr sorted)
-    uniq_terms, term_starts = np.unique(terms_arr, return_index=True)
-    term_ends = np.append(term_starts[1:], len(terms_arr))
+    # term boundaries (ranks_arr sorted); uniq_terms in lexicographic order
+    uniq_ranks, term_starts = np.unique(ranks_arr, return_index=True)
+    term_ends = np.append(term_starts[1:], len(ranks_arr))
+    sorted_uniques = uniques[order] if len(uniques) else uniques
+    uniq_terms = (
+        np.asarray(sorted_uniques, dtype=object)[uniq_ranks]
+        if len(uniq_ranks)
+        else np.array([], dtype=object)
+    )
 
     bs = cfg.block_size
     with_pos = cfg.index_positions
