@@ -69,6 +69,22 @@ def main() -> None:
     build_index(spark, turns, idx_dir, cfg)
     build_sec = time.perf_counter() - t0
 
+    if os.environ.get("SPARK_GRAFT_BUILD_ONLY"):
+        result = {
+            "spec": spec,
+            "master": master or f"local[{cores}]",
+            "cores": cores,
+            "n_turns": int(n_turns),
+            "n_partitions": N_PARTITIONS,
+            "build_sec": round(build_sec, 2),
+            "build_turns_per_sec": round(n_turns / build_sec, 1),
+        }
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps(result))
+        spark.stop()
+        return
+
     # distributed query path (mode="spark") — the path that must scale
     reader = IndexReader(spark, idx_dir).cache_views()
     qset = [q for q in reference_query_set() if not q["filters"]]
