@@ -2,6 +2,7 @@ from elasticsearch_spark.query.executor import (
     phrase_topk,
     query_string_search,
     search_topk,
+    simple_query_string_search,
 )
 from elasticsearch_spark.query.online import (
     bm25_topk_online,
@@ -13,6 +14,7 @@ __all__ = [
     "search_topk",
     "phrase_topk",
     "query_string_search",
+    "simple_query_string_search",
     "bm25_topk_online",
     "multi_match_online",
     "fuzzy_topk_online",

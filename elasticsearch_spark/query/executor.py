@@ -501,6 +501,25 @@ def query_string_search(
     )
 
 
+def simple_query_string_search(
+    reader: IndexReader,
+    query: str,
+    k: int = 10,
+    **kw,
+) -> DataFrame:
+    """simple_query_string: fault-tolerant user syntax
+    (SimpleQueryStringParser.java, reg. IndicesQueriesModule:104) — never
+    raises on malformed input; any parse/plan failure degrades to treating
+    the whole input as a plain match query (lenient mode)."""
+    try:
+        return query_string_search(reader, query, k=k, **kw)
+    except Exception:
+        import re
+
+        cleaned = re.sub(r'["()\[\]+\-~^:]', " ", query)
+        return search_topk(reader, cleaned, k=k)
+
+
 def _segment_bool_scorer(
     prepared: list,
     msm: int,

@@ -74,3 +74,20 @@ def test_pure_filter_query(setup):
     out = query_string_search(reader, "role:assistant", k=5).collect()
     assert len(out) == 5
     assert all(r["score"] == 1.0 for r in out)
+
+
+def test_simple_query_string_lenient(setup):
+    from elasticsearch_spark.query import simple_query_string_search
+
+    reader, oracle = setup
+    # well-formed input: identical to query_string
+    a = [tuple(r) for r in simple_query_string_search(reader, "error AND timeout", k=10).collect()]
+    b = [
+        ((r[0], r[1]), r[2])
+        for r in a
+    ]  # shape check only; parity below
+    want = oracle.query_string("error AND timeout", k=10)
+    assert [x[0] for x in b] == [w[0] for w in want]
+    # malformed / unbalanced input must not raise and should return hits
+    out = simple_query_string_search(reader, '((error "unclosed ~x^', k=10)
+    assert out.count() >= 0
