@@ -797,6 +797,33 @@ register(
     ).select("o_orderkey", "o_totalprice")
 )
 
+def _scroll_query(spark, sf):
+    """scan/scroll: 3 keyset-paginated pages of 10 — must equal the first 30
+    rows of the total order (ScanContext.java:47 searchAfter semantics)."""
+    ev = _t(spark, sf, "events")
+    rows, last = [], None
+    for _ in range(3):
+        if last is None:
+            page = ev.orderBy(F.col("ts").asc(), F.col("event_id").asc()).limit(10)
+        else:
+            page = sort.search_after(
+                ev, [("ts", True), ("event_id", True)],
+                [last["ts"], last["event_id"]], size=10,
+            )
+        got = page.select("event_id", "ts").collect()
+        rows.extend(got)
+        last = got[-1]
+    return spark.createDataFrame(
+        [(r["event_id"],) for r in rows], "event_id long"
+    )
+
+
+register(
+    "scan_scroll_pages",
+    "SELECT event_id FROM events ORDER BY ts ASC, event_id ASC LIMIT 30",
+)(_scroll_query)
+
+
 register(
     "from_size_page",
     "SELECT event_id FROM events ORDER BY ts ASC, event_id ASC LIMIT 10 OFFSET 20",
