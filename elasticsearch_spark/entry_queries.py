@@ -337,6 +337,8 @@ WITH {_ranges_cte()},
 SELECT f0.doc_id, round(f0.score, 4) AS score
 FROM f0
 WHERE f0.doc_id IN (SELECT doc_id FROM f0_toks WHERE list_contains(t, 'merge'))
+  AND f0.doc_id IN (SELECT doc_id FROM f0_toks
+                    WHERE list_contains(t, 'query') OR list_contains(t, 'fast'))
   AND f0.doc_id NOT IN (SELECT doc_id FROM f0_toks WHERE list_contains(t, 'slow'))
 ORDER BY score DESC, f0.doc_id ASC
 LIMIT 10

@@ -374,10 +374,24 @@ def build_index(
     manifest_rows = manifest.collect()  # small: one row per segment
     t_segments = _time.perf_counter() - t0
 
-    # commit manifest (translog/commit-point analog) — append mode for resume
+    # commit manifest (translog/commit-point analog) — append mode for resume.
+    # Replay-idempotent: a re-run batch (e.g. foreachBatch failure recovery)
+    # rewrites byte-identical segment files, so rows whose segment_id is
+    # already committed are dropped instead of appended — appending them
+    # would double-count n_docs/total_tokens in the stats path below and
+    # shift every BM25 score.
     mpath = os.path.join(index_dir, "manifest")
-    if manifest_rows:
-        spark.createDataFrame(manifest_rows, schema=MANIFEST_SCHEMA).coalesce(1) \
+    new_rows = manifest_rows
+    if new_rows and os.path.isdir(mpath):
+        already = {
+            r["segment_id"]
+            for r in spark.read.parquet(mpath)
+            .where(F.col("status") == "committed")
+            .select("segment_id").distinct().collect()
+        }
+        new_rows = [r for r in new_rows if r["segment_id"] not in already]
+    if new_rows:
+        spark.createDataFrame(new_rows, schema=MANIFEST_SCHEMA).coalesce(1) \
             .write.mode("append").parquet(mpath)
 
     # global DFS statistics: one small groupBy over per-segment term stats.
@@ -389,7 +403,7 @@ def build_index(
         superseded = set(man.loc[man["status"] == "superseded", "segment_id"])
         man = man[
             (man["status"] == "committed") & ~man["segment_id"].isin(superseded)
-        ]
+        ].drop_duplicates(subset=["segment_id"])  # replay-safe: count each once
         n_docs = int(man["docs_indexed"].sum())
         total_tokens = int(man["sum_doc_len"].sum())
         n_segments = int(len(man))

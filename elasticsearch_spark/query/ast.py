@@ -141,11 +141,15 @@ def parse_query_string(
         elif kind in ("minus", "not"):
             pending_occur = "must_not"
         elif kind == "and":
-            # promote previous scored clause and the next one
+            # promote the nearest preceding SHOULD clause and the next one;
+            # skip over must_not clauses ('a -b AND c' promotes 'a', matching
+            # Lucene) and stop early at an already-promoted must clause
             for prev in reversed(pq.clauses):
                 if prev.occur == "should":
                     prev.occur = "must"
-                break
+                    break
+                if prev.occur == "must":
+                    break
             promote_next = True
         elif kind == "or":
             pass  # should is the default

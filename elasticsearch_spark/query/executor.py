@@ -369,8 +369,18 @@ def _segment_phrase_scorer(
             docs, tfs, pos = decoded[t]
             doc_of_pos = np.repeat(docs, tfs)
             adj = pos.astype(np.int64) - i
-            valid = adj >= 0
-            keys = (doc_of_pos[valid] << SHIFT) + adj[valid]
+            if slop == 0:
+                # exact path: an anchor is a position of term 0 (adj >= 0), so
+                # negative adj can never intersect — dropping it also keeps
+                # keys unique for intersect1d(assume_unique)
+                valid = adj >= 0
+                keys = (doc_of_pos[valid] << SHIFT) + adj[valid]
+            else:
+                # sloppy path: keep negative adj — a term occurring before its
+                # phrase offset (q < i) is still within slop of an anchor near
+                # document start. doc << SHIFT dominates, so a negative low
+                # part stays inside the doc's key range (doc gaps >> slop).
+                keys = (doc_of_pos << SHIFT) + adj
             if anchors is None:
                 anchors = keys
             elif slop == 0:
@@ -605,8 +615,14 @@ def _segment_bool_scorer(
                     docs, tfs, pos = dec
                     doc_of_pos = np.repeat(docs, tfs.astype(np.int64))
                     adj = pos.astype(np.int64) - i
-                    valid = adj >= 0
-                    keys = (doc_of_pos[valid] << SHIFT) + adj[valid]
+                    if slop == 0:
+                        # see _segment_phrase_scorer: negative adj can't
+                        # intersect an anchor on the exact path
+                        valid = adj >= 0
+                        keys = (doc_of_pos[valid] << SHIFT) + adj[valid]
+                    else:
+                        # keep negative adj so slop matches near doc start
+                        keys = (doc_of_pos << SHIFT) + adj
                     if anchors is None:
                         anchors = keys
                     elif slop == 0:
