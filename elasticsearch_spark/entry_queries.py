@@ -22,6 +22,7 @@ from elasticsearch_spark.oracle.sqlgen import (
     bm25_phrase_sql,
     bm25_topk_sql,
     fuzzy_sql,
+    mlt_sql,
     multi_match_sql,
 )
 from elasticsearch_spark.pipeline import dedup, similarity, textstats
@@ -246,7 +247,26 @@ def _highlight_query(spark, sf):
     )
 
 
-register("highlight_plain")(_highlight_query)  # Java-vs-RE2 regex nuances → rows-only
+_HIGHLIGHT_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         regexp_extract(text, '(?s).{0,40}(?i)\b(query|merge)\b.{0,40}', 0) AS frag,
+         len(regexp_extract_all(text, '(?i)\b(query|merge)\b')) AS n_matches
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(frag, '(?i)\b(query|merge)\b', '<em>\1</em>', 'g') AS highlight,
+       n_matches
+FROM h
+WHERE frag != ''
+ORDER BY n_matches DESC, doc_id ASC
+LIMIT 10
+""".strip()
+
+# Java regex (Spark) and RE2 (DuckDB) agree on this pattern class: greedy
+# bounded .{0,40} prefix/suffix, ASCII \b, inline (?i)/(?s) — verified
+# empirically at sf0.01 via scripts/verify_oracles.py
+register("highlight_plain", _HIGHLIGHT_SQL)(_highlight_query)
 
 
 def _mlt_query(spark, sf):
@@ -263,7 +283,7 @@ def _mlt_query(spark, sf):
     )
 
 
-register("more_like_this")(_mlt_query)  # term selection uses index stats → rows-only
+register("more_like_this", mlt_sql(3, max_query_terms=10, k=10))(_mlt_query)
 
 
 # --------------------------------------------------------------------------
@@ -326,9 +346,12 @@ register("bm25_phrase_trigram", bm25_phrase_sql(["merge", "group"], k=15))(
     lambda spark, sf: _indexed_phrase(spark, sf, "merge group", k=15)
 )
 
-register("bm25_phrase_slop")(  # slop semantics not SQL-expressible tersely
-    lambda spark, sf: _indexed_phrase(spark, sf, "table hash", k=10, slop=2)
-)
+register(
+    "bm25_phrase_slop",
+    # documented bounded-displacement slop semantics, expressed over DuckDB
+    # token lists (nested list comprehensions mirror the anchor kernel)
+    bm25_phrase_sql(["table", "hash"], k=10, slop=2),
+)(lambda spark, sf: _indexed_phrase(spark, sf, "table hash", k=10, slop=2))
 
 
 _QS_SQL = f"""
@@ -360,14 +383,26 @@ def _qs_query(spark, sf):
 register("query_string_bool", _QS_SQL)(_qs_query)
 
 
-register("query_string_phrase_filter")(  # grammar mix — rows-only check
-    lambda spark, sf: __import__(
-        "elasticsearch_spark.query", fromlist=["x"]
-    ).query_string_search(
+def _qs_phrase_filter_query(spark, sf):
+    from elasticsearch_spark.query import query_string_search
+
+    out = query_string_search(
         _indexed_reader(spark, sf), '"table hash" lang:en', k=10,
         filter_fields={"lang", "source"},
     )
-)
+    return (
+        out.withColumn("score", F.round("score", 4))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+register(
+    "query_string_phrase_filter",
+    # a single scored phrase clause + keyword filter context ≡ filtered
+    # phrase query (filter never changes scores; df stays corpus-global)
+    bm25_phrase_sql(["table", "hash"], k=10, filter_sql="lang = 'en'"),
+)(_qs_phrase_filter_query)
 
 
 register("bm25_indexed_term", bm25_topk_sql(["data"], k=10))(

@@ -261,15 +261,40 @@ def bm25_phrase_sql(
     b: float = 0.75,
     quantize: bool = True,
     score_decimals: int = 4,
+    slop: int = 0,
+    filter_sql: str | None = None,
 ) -> str:
-    """DuckDB SQL computing the same rows as phrase_topk(..., slop=0).
+    """DuckDB SQL computing the same rows as phrase_topk(..., slop=slop).
 
-    freq per doc = number of anchor positions where the exact token sequence
-    occurs (ExactPhraseScorer semantics); score = (Σ idf) · tfNorm(freq).
+    slop=0: freq per doc = number of anchor positions where the exact token
+    sequence occurs (ExactPhraseScorer semantics).
+    slop>0: the engine's documented bounded-displacement semantics — an
+    anchor position p of the first term survives if every later term i has
+    an occurrence q with |q - i - p| <= slop (occurrences before the
+    phrase offset, q < i, are legal — matches near document start count).
+    score = (Σ idf) · tfNorm(freq). ``filter_sql`` is ES filter context:
+    restricts membership, never changes scores (df stays corpus-global).
     """
     n = len(terms)
     esc = [t.replace("'", "''") for t in terms]
-    cond = " AND ".join(f"t[i+{i}] = '{w}'" for i, w in enumerate(esc))
+    if slop == 0:
+        cond = " AND ".join(f"t[i+{i}] = '{w}'" for i, w in enumerate(esc))
+        freq_expr = (
+            f"len([i for i in range(1, greatest(len(t) - {n} + 2, 1)) if {cond}])"
+        )
+    else:
+        # 1-indexed SQL positions: |q - i - p| mirrors the 0-indexed
+        # |(q0 - i) - p0| of the engine kernel exactly
+        later = " AND ".join(
+            f"len([q for q in range(1, len(t) + 1) if t[q] = '{w}'"
+            f" AND abs(q - {i} - p) <= {slop}]) > 0"
+            for i, w in enumerate(esc[1:], start=1)
+        )
+        freq_expr = (
+            f"len([p for p in range(1, len(t) + 1) if t[p] = '{esc[0]}'"
+            + (f" AND {later}" if later else "")
+            + "])"
+        )
     df_cols = ",".join(
         f"sum(CASE WHEN list_contains(t, '{w}') THEN 1 ELSE 0 END) AS df{i}"
         for i, w in enumerate(esc)
@@ -277,6 +302,70 @@ def bm25_phrase_sql(
     sum_idf = " + ".join(
         f"ln(1.0 + (s.n_docs - d.df{i} + 0.5) / (d.df{i} + 0.5))" for i in range(n)
     )
+    if quantize:
+        ranges = _ranges_cte() + ","
+        dle = (
+            f"dle AS (SELECT dl.{key}, COALESCE(r.dl_eff, 0.0) AS dl_eff "
+            f"FROM dl LEFT JOIN ranges r ON dl.doc_len BETWEEN r.lo AND r.hi),"
+        )
+    else:
+        ranges = ""
+        dle = f"dle AS (SELECT {key}, CAST(doc_len AS DOUBLE) AS dl_eff FROM dl),"
+    filt = (
+        f"AND f.{key} IN (SELECT {key} FROM {table} WHERE {filter_sql})"
+        if filter_sql
+        else ""
+    )
+    return f"""
+WITH toks AS (
+  SELECT {key}, regexp_extract_all(lower({text_col}), '{SIMPLE_TOKEN_SQL}') AS t
+  FROM {table}
+),
+dl AS (SELECT {key}, len(t) AS doc_len FROM toks),
+{ranges}
+{dle}
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+dfs AS (SELECT {df_cols} FROM toks),
+freqs AS (
+  SELECT {key},
+         {freq_expr} AS freq
+  FROM toks
+)
+SELECT f.{key} AS {key},
+       round(({sum_idf}) * (f.freq * {k1 + 1.0})
+             / (f.freq + {k1} * (1.0 - {b} + {b} * e.dl_eff / s.avgdl)),
+             {score_decimals}) AS score
+FROM freqs f
+JOIN dle e USING ({key})
+CROSS JOIN stats s CROSS JOIN dfs d
+WHERE f.freq > 0 {filt}
+ORDER BY score DESC, f.{key} ASC
+LIMIT {k}
+""".strip()
+
+
+def mlt_sql(
+    sample_key: int,
+    table: str = "documents",
+    key: str = "doc_id",
+    text_col: str = "text",
+    max_query_terms: int = 25,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    quantize: bool = True,
+    score_decimals: int = 4,
+) -> str:
+    """DuckDB SQL mirroring more_like_this(like_text = text of ``sample_key``).
+
+    Two stages, both replicated from ops/mlt.py: (1) term selection — top
+    ``max_query_terms`` sample terms by tf·idf (idf over corpus-global df),
+    tie-broken term ASC; (2) disjunctive BM25 (need=1) over the selected
+    terms, each with weight = idf (selected terms are unique in the query).
+    """
     if quantize:
         ranges = _ranges_cte() + ","
         dle = (
@@ -298,20 +387,36 @@ stats AS (
   SELECT count(*) AS n_docs, CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
   FROM dl
 ),
-dfs AS (SELECT {df_cols} FROM toks),
-freqs AS (
-  SELECT {key},
-         len([i for i in range(1, greatest(len(t) - {n} + 2, 1)) if {cond}]) AS freq
-  FROM toks
+docterms AS (SELECT {key}, unnest(t) AS term FROM toks),
+dfreq AS (SELECT term, count(DISTINCT {key}) AS df FROM docterms GROUP BY term),
+sample_tf AS (
+  SELECT term, count(*) AS tf FROM docterms WHERE {key} = {sample_key} GROUP BY term
+),
+sel AS (
+  SELECT s.term
+  FROM sample_tf s JOIN dfreq d USING (term) CROSS JOIN stats st
+  ORDER BY s.tf * ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5)) DESC,
+           s.term ASC
+  LIMIT {max_query_terms}
+),
+hits AS (
+  SELECT {key}, term, count(*) AS tf
+  FROM docterms WHERE term IN (SELECT term FROM sel)
+  GROUP BY {key}, term
+),
+perdoc AS (
+  SELECT h.{key}, sum(
+    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (h.tf * {k1 + 1.0})
+      / (h.tf + {k1} * (1.0 - {b} + {b} * e.dl_eff / s.avgdl))) AS raw
+  FROM hits h
+  JOIN dfreq d USING (term)
+  JOIN dle e USING ({key})
+  CROSS JOIN stats s
+  GROUP BY h.{key}
 )
-SELECT f.{key} AS {key},
-       round(({sum_idf}) * (f.freq * {k1 + 1.0})
-             / (f.freq + {k1} * (1.0 - {b} + {b} * e.dl_eff / s.avgdl)),
-             {score_decimals}) AS score
-FROM freqs f
-JOIN dle e USING ({key})
-CROSS JOIN stats s CROSS JOIN dfs d
-WHERE f.freq > 0
-ORDER BY score DESC, f.{key} ASC
+SELECT {key}, round(raw, {score_decimals}) AS score
+FROM perdoc
+ORDER BY round(raw, {score_decimals}) DESC, {key} ASC
 LIMIT {k}
 """.strip()
