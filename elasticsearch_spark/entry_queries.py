@@ -179,8 +179,10 @@ def _rescore_query(spark, sf):
     from elasticsearch_spark.query.online import bm25_topk_online
 
     docs = _t(spark, sf, "documents")
+    # k=None: the full matching set stays a lazy frame — rescore_topk's
+    # TakeOrderedAndProject bounds the gather at window_size + k rows
     hits = bm25_topk_online(
-        spark, docs, "query fast", key_cols=["doc_id"], k=1 << 30,
+        spark, docs, "query fast", key_cols=["doc_id"], k=None,
         analyzer=SIMPLE,
     ).join(docs.select("doc_id", "n_chars"), "doc_id")
     secondary = 2.0 * F.exp(

@@ -115,7 +115,7 @@ def bm25_topk_online(
     query_text: str,
     key_cols: Sequence[str],
     text_col: str = "text",
-    k: int = 10,
+    k: int | None = 10,
     operator: str = "or",
     minimum_should_match: int = 1,
     analyzer: AnalyzerConfig | None = None,
@@ -129,6 +129,8 @@ def bm25_topk_online(
     ``filter_cond`` only restricts the hit set (ES filter context — filters
     never change scoring statistics).
     Output: (*key_cols, score) ordered (score DESC, keys ASC), ≤ k rows.
+    ``k=None`` returns the full (unordered) matching set — for callers that
+    apply their own bounded cut (e.g. rescore_topk); never collect it raw.
     """
     analyzer = analyzer or AnalyzerConfig()
     bm25 = bm25 or BM25Params()
@@ -149,6 +151,8 @@ def bm25_topk_online(
         result = result.join(keyed, keys, "left_semi")
     if score_decimals is not None:
         result = result.withColumn("score", F.round("score", score_decimals))
+    if k is None:
+        return result
     return result.orderBy(
         F.col("score").desc(), *[F.col(c).asc() for c in keys]
     ).limit(k)

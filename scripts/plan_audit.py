@@ -101,7 +101,17 @@ def main() -> None:
         must_not=["CartesianProduct"],
     )
 
-    # 5. lineitem agg: partial/final hash agg in codegen, projection pruned
+    # 5. rescore over an unbounded hit set: bounded TakeOrderedAndProject
+    #    gather, no global row_number Window (the single-task funnel)
+    r = entry_queries._QUERIES["rescore_window"](spark, sf)
+    check(
+        "rescore_bounded_window",
+        plan_of(r),
+        must=["TakeOrderedAndProject"],
+        must_not=["Window"],
+    )
+
+    # 6. lineitem agg: partial/final hash agg in codegen, projection pruned
     a = (
         li.groupBy("l_returnflag")
         .agg(F.sum("l_quantity").alias("s"))
