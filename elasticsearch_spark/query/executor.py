@@ -40,6 +40,68 @@ def lucene_idf(n_docs: int, df: int) -> float:
     return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
 
 
+def _filter_sets(reader: IndexReader, filter_cond: Column) -> DataFrame:
+    """Per-segment filter-context doc-id sets, smaller polarity chosen.
+
+    The filter-bitset analog (index/cache/filter/). Returns one row per
+    segment with >= 1 passing doc: (segment_id, f_mode, f_ids) where
+    f_mode='allow' lists the passing local ids and f_mode='deny' the failing
+    ones — whichever side is smaller. A low-selectivity filter (e.g. half
+    the corpus) therefore never ships more than min(|pass|, |fail|) ids per
+    segment, instead of materializing every passing id. Scores are
+    filter-independent (ES filter context), so this is exact, not a
+    post-filter approximation. Two narrow columnar scans: a count pass over
+    the filter columns, then the id collection of the chosen side.
+    """
+    docs = reader.docs()
+    passes = F.coalesce(filter_cond, F.lit(False))  # null == fails, like WHERE
+    counts = (
+        docs.groupBy("segment_id")
+        .agg(
+            F.sum(F.when(passes, 1).otherwise(0)).alias("n_pass"),
+            F.count(F.lit(1)).alias("n_all"),
+        )
+        .where(F.col("n_pass") > 0)  # no passing doc → segment excluded
+        .withColumn(
+            "f_mode",
+            F.when(F.col("n_pass") * 2 <= F.col("n_all"), F.lit("allow"))
+            .otherwise(F.lit("deny")),
+        )
+    )
+    sets = (
+        docs.join(F.broadcast(counts.select("segment_id", "f_mode")), "segment_id")
+        .where(F.when(F.col("f_mode") == "allow", passes).otherwise(~passes))
+        .groupBy("segment_id", "f_mode")
+        .agg(F.sort_array(F.collect_list("local_doc_id")).alias("f_ids"))
+    )
+    # deny-mode segments where EVERY doc passes have no collected row: keep
+    # them with an empty deny list (mask nothing)
+    return counts.join(sets, ["segment_id", "f_mode"], "left").select(
+        "segment_id",
+        "f_mode",
+        F.coalesce("f_ids", F.array().cast("array<int>")).alias("f_ids"),
+    )
+
+
+def _allowed_mask(aux: pd.DataFrame, n_docs: int) -> np.ndarray | None:
+    """Decode the filter-context columns of the aux row into a bool mask."""
+    if "f_ids" in aux.columns:
+        ids = np.asarray(aux["f_ids"].iloc[0], dtype=np.int64)
+        if aux["f_mode"].iloc[0] == "allow":
+            m = np.zeros(n_docs, dtype=bool)
+            m[ids] = True
+        else:
+            m = np.ones(n_docs, dtype=bool)
+            m[ids] = False
+        return m
+    if "allowed_ids" in aux.columns:
+        ids = np.asarray(aux["allowed_ids"].iloc[0], dtype=np.int64)
+        m = np.zeros(n_docs, dtype=bool)
+        m[ids] = True
+        return m
+    return None
+
+
 def _decode_term(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """Decode the blocks of one term (rows pre-sorted) → (doc_ids, tfs)."""
     docs_parts, tf_parts = [], []
@@ -87,11 +149,7 @@ def _segment_scorer(
         n_docs = int(aux["n_docs"].iloc[0])
         doc_lens = np.frombuffer(aux["doc_len_packed"].iloc[0], dtype=np.uint32)
         dl_eff = effective_doc_length(doc_lens, quantize=quantize)
-        allowed = None
-        if "allowed_ids" in aux.columns:
-            allowed_ids = np.asarray(aux["allowed_ids"].iloc[0], dtype=np.int64)
-            allowed = np.zeros(n_docs, dtype=bool)
-            allowed[allowed_ids] = True
+        allowed = _allowed_mask(aux, n_docs)
 
         c0 = k1 * (1.0 - b)  # norm constant part
         c1 = k1 * b / avgdl  # norm length coefficient
@@ -348,11 +406,7 @@ def _segment_phrase_scorer(
         n_docs = int(aux["n_docs"].iloc[0])
         doc_lens = np.frombuffer(aux["doc_len_packed"].iloc[0], dtype=np.uint32)
         dl_eff = effective_doc_length(doc_lens, quantize=quantize)
-        allowed = None
-        if "allowed_ids" in aux.columns:
-            allowed_ids = np.asarray(aux["allowed_ids"].iloc[0], dtype=np.int64)
-            allowed = np.zeros(n_docs, dtype=bool)
-            allowed[allowed_ids] = True
+        allowed = _allowed_mask(aux, n_docs)
 
         post = post.sort_values(["term", "first_doc"])
         by_term = {t: g for t, g in post.groupby("term", sort=False)}
@@ -561,11 +615,7 @@ def _segment_bool_scorer(
         n_docs = int(aux["n_docs"].iloc[0])
         doc_lens = np.frombuffer(aux["doc_len_packed"].iloc[0], dtype=np.uint32)
         dl_eff = effective_doc_length(doc_lens, quantize=quantize)
-        allowed = None
-        if "allowed_ids" in aux.columns:
-            allowed_ids = np.asarray(aux["allowed_ids"].iloc[0], dtype=np.int64)
-            allowed = np.zeros(n_docs, dtype=bool)
-            allowed[allowed_ids] = True
+        allowed = _allowed_mask(aux, n_docs)
 
         post = post.sort_values(["term", "first_doc"])
         by_term = {t: g for t, g in post.groupby("term", sort=False)}
@@ -734,17 +784,11 @@ def _execute(
     ):
         allowed_map = None
         if filter_cond is not None:
-            # one narrow Spark job: per-segment allowed-doc sets (the filter
-            # bitsets); tiny result, collected to the driver
+            # one narrow Spark job: per-segment filter sets (smaller polarity
+            # per segment — see _filter_sets); tiny result, collected
             allowed_map = {
-                r["segment_id"]: r["allowed_ids"]
-                for r in reader.docs()
-                .where(filter_cond)
-                .groupBy("segment_id")
-                .agg(
-                    F.sort_array(F.collect_list("local_doc_id")).alias("allowed_ids")
-                )
-                .collect()
+                r["segment_id"]: (r["f_mode"], r["f_ids"])
+                for r in _filter_sets(reader, filter_cond).collect()
             }
         local = _local_search(
             reader, score_fn, present, key_cols, extra_cols, k, columns,
@@ -760,16 +804,10 @@ def _execute(
     )
     aux = reader.norms().select("segment_id", "n_docs", "doc_len_packed")
     if filter_cond is not None:
-        # per-segment allowed-doc sets computed entirely JVM-side (columnar
-        # scan + hash agg — the filter-context bitset analog,
-        # index/cache/filter/); arrives in the scorer as one array per segment
-        allowed = (
-            reader.docs()
-            .where(filter_cond)
-            .groupBy("segment_id")
-            .agg(F.sort_array(F.collect_list("local_doc_id")).alias("allowed_ids"))
-        )
-        aux = aux.join(allowed, "segment_id", "inner")
+        # per-segment filter sets computed entirely JVM-side (columnar scan +
+        # hash agg — the filter-context bitset analog, index/cache/filter/);
+        # one array per segment, never larger than the smaller filter side
+        aux = aux.join(_filter_sets(reader, filter_cond), "segment_id", "inner")
 
     def cogroup_fn(key, post: pd.DataFrame, aux_pdf: pd.DataFrame) -> pd.DataFrame:
         out = score_fn(post, aux_pdf)
@@ -847,7 +885,8 @@ def _local_search(reader, score_fn, present, key_cols, extra_cols, k,
         if allowed_map is not None:
             if seg not in allowed_map:
                 continue  # no doc in this segment passes the filter
-            aux = aux.assign(allowed_ids=[allowed_map[seg]])
+            mode, ids = allowed_map[seg]
+            aux = aux.assign(f_mode=mode, f_ids=[list(ids)])
         out = score_fn(g, aux)
         for ldoc, sc in zip(out["local_doc_id"], out["score"]):
             rows.append({"segment_id": seg, "local_doc_id": int(ldoc), "score": float(sc)})

@@ -34,7 +34,8 @@ def _corpus():
             "conv_id": [f"c{i}" for i in range(len(texts))],
             "turn_idx": [0] * len(texts),
             "ts": pd.to_datetime(["2025-01-01"] * len(texts)),
-            "role": ["user"] * len(texts),
+            # alternate roles → a role filter is ~50% selective
+            "role": ["user" if i % 2 == 0 else "assistant" for i in range(len(texts))],
             "tool": [""] * len(texts),
             "text": texts,
         }
@@ -138,3 +139,60 @@ def test_build_replay_is_idempotent(spark, tmp_root):
     assert reader2.avgdl == reader1.avgdl
     hits2 = [tuple(r) for r in phrase_topk(reader2, "error timeout", k=10, slop=2).collect()]
     assert hits2 == hits1
+
+
+@pytest.mark.parametrize("mode", ["local", "spark"])
+def test_low_selectivity_filter_exact_and_small(slop_setup, mode):
+    """A ~50%-selectivity filter must stay exact AND ship only the smaller
+    polarity per segment (never every passing id) — the deny-list path of
+    _filter_sets."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.query import search_topk
+    from elasticsearch_spark.query.executor import _filter_sets
+
+    reader, oracle = slop_setup
+    cond = F.col("role") == "user"
+    got = [
+        ((r["conv_id"], r["turn_idx"]), r["score"])
+        for r in search_topk(reader, "error timeout", k=10,
+                             filter_cond=cond, mode=mode).collect()
+    ]
+    want = oracle.match("error timeout", k=10,
+                        filter_fn=lambda d: d["role"] == "user")
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) <= 1e-9 * max(1.0, abs(b))
+
+    # the collected side is min(|pass|, |fail|) per segment
+    seg_sizes = {
+        r["segment_id"]: r["n_docs"]
+        for r in reader.norms().select("segment_id", "n_docs").collect()
+    }
+    for r in _filter_sets(reader, cond).collect():
+        assert len(r["f_ids"]) <= seg_sizes[r["segment_id"]] // 2 + 1, (
+            r["segment_id"], r["f_mode"], len(r["f_ids"]),
+        )
+
+
+def test_filter_sets_polarity_and_exclusion(slop_setup):
+    """deny mode for an always-true filter (empty list), allow mode for a
+    highly selective one, and total exclusion when nothing passes."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.query import search_topk
+    from elasticsearch_spark.query.executor import _filter_sets
+
+    reader, _ = slop_setup
+    rows = _filter_sets(reader, F.lit(True)).collect()
+    assert rows and all(r["f_mode"] == "deny" and r["f_ids"] == [] for r in rows)
+
+    rows = _filter_sets(reader, F.col("conv_id") == "c0").collect()
+    assert all(r["f_mode"] == "allow" for r in rows)
+    assert sum(len(r["f_ids"]) for r in rows) == 1
+
+    assert _filter_sets(reader, F.lit(False)).count() == 0
+    # nothing passes → zero hits, not an error
+    assert search_topk(
+        reader, "error timeout", k=10, filter_cond=F.lit(False)
+    ).count() == 0
