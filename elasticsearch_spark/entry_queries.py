@@ -24,6 +24,7 @@ from elasticsearch_spark.oracle.sqlgen import (
     fuzzy_sql,
     mlt_sql,
     multi_match_sql,
+    phrase_prefix_sql,
 )
 from elasticsearch_spark.pipeline import dedup, similarity, textstats
 from elasticsearch_spark.query.online import bm25_topk_online
@@ -347,6 +348,22 @@ register("bm25_phrase", bm25_phrase_sql(["table", "hash"], k=10))(
 register("bm25_phrase_trigram", bm25_phrase_sql(["merge", "group"], k=15))(
     lambda spark, sf: _indexed_phrase(spark, sf, "merge group", k=15)
 )
+
+def _phrase_prefix_query(spark, sf):
+    from elasticsearch_spark.query import phrase_prefix_topk
+
+    out = phrase_prefix_topk(_indexed_reader(spark, sf), "table ha", k=10)
+    return (
+        out.withColumn("score", F.round("score", 4))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+register(
+    "bm25_phrase_prefix", phrase_prefix_sql(["table"], "ha", k=10)
+)(_phrase_prefix_query)
+
 
 register(
     "bm25_phrase_slop",

@@ -102,3 +102,44 @@ class IndexReader:
                 .collect()
             )
             return {r["term"]: (r["df"], r["ttf"]) for r in rows}
+
+    def prefix_term_stats(
+        self, prefix: str, max_expansions: int = 50
+    ) -> list[tuple[str, int, int]]:
+        """Term-dictionary prefix expansion: the first ``max_expansions``
+        terms starting with ``prefix``, in term order, with (df, ttf).
+
+        The MultiPhrasePrefixQuery expansion walk (index/search/
+        MatchQuery.java:215-220 builds it; Lucene caps expansions at 50).
+        Row-group pruned range read on the term-sorted termstats layout.
+        """
+        if not prefix:
+            return []
+        upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        try:
+            import pyarrow.dataset as ds
+
+            dset = ds.dataset(os.path.join(self.index_dir, "termstats"))
+            tbl = dset.to_table(
+                columns=["term", "df", "ttf"],
+                filter=(ds.field("term") >= prefix) & (ds.field("term") < upper),
+            )
+            rows = sorted(
+                zip(
+                    tbl["term"].to_pylist(),
+                    tbl["df"].to_pylist(),
+                    tbl["ttf"].to_pylist(),
+                )
+            )
+        except (OSError, ImportError):
+            from pyspark.sql import functions as F
+
+            rows = [
+                (r["term"], r["df"], r["ttf"])
+                for r in self.termstats()
+                .where((F.col("term") >= prefix) & (F.col("term") < upper))
+                .orderBy("term")
+                .limit(max_expansions)
+                .collect()
+            ]
+        return [(t, int(d), int(f)) for t, d, f in rows[:max_expansions]]

@@ -181,6 +181,66 @@ class PyRefEngine:
         hits.sort(key=lambda kv: (-kv[1], kv[0]))
         return hits[:k]
 
+    def match_phrase_prefix(
+        self,
+        text: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        filter_fn=None,
+    ) -> list[tuple[Any, float]]:
+        """MultiPhrasePrefixQuery semantics (MatchQuery.java:215-220): the
+        last analyzed token is a prefix; expansion = first ``max_expansions``
+        dictionary terms with that prefix (term order); freq = #anchors p
+        with fixed term_i at p+i and any expansion at p+(n-1);
+        score = (Σ idf(fixed) + Σ idf(expansions)) · tfNorm(freq)."""
+        terms = tokenize_text(text, self.analyzer)
+        if not terms:
+            return []
+        fixed, prefix = terms[:-1], terms[-1]
+        exp = sorted(
+            t for t, d in self.postings.items() if d and t.startswith(prefix)
+        )[:max_expansions]
+        if not exp:
+            return []
+        for t in fixed:
+            if not self.postings.get(t):
+                return []
+        sum_idf = sum(self.idf(t) for t in fixed) + sum(self.idf(e) for e in exp)
+        n_off = len(fixed)
+        # candidate docs: contain every fixed term and >= 1 expansion
+        cand = set(self.doc_len)
+        for t in fixed:
+            cand &= set(self.positions[t])
+        cand &= {key for e in exp for key in self.positions[e]}
+        k1, b = self.bm25.k1, self.bm25.b
+        hits = []
+        for key in cand:
+            if filter_fn is not None and not filter_fn(self.docs[key]):
+                continue
+            exp_pos = {
+                q for e in exp for q in self.positions[e].get(key, [])
+            }
+            if fixed:
+                anchors = list(self.positions[fixed[0]][key])
+                for i, t in enumerate(fixed[1:], start=1):
+                    pset = {q - i for q in self.positions[t][key]}
+                    anchors = [p for p in anchors if p in pset]
+                    if not anchors:
+                        break
+                anchors = [p for p in anchors if (p + n_off) in exp_pos]
+            else:
+                anchors = sorted(exp_pos)
+            freq = len(anchors)
+            if freq == 0:
+                continue
+            dl_eff = self._dl_eff(key)
+            tf_norm = freq * (k1 + 1.0) / (
+                freq + k1 * (1.0 - b + b * dl_eff / self.avgdl)
+            )
+            hits.append((key, sum_idf * tf_norm))
+        hits.sort(key=lambda kv: (-kv[1], kv[0]))
+        return hits[:k]
+
     def query_string(
         self,
         q: str,

@@ -420,3 +420,88 @@ FROM perdoc
 ORDER BY round(raw, {score_decimals}) DESC, {key} ASC
 LIMIT {k}
 """.strip()
+
+
+def phrase_prefix_sql(
+    fixed: Sequence[str],
+    prefix: str,
+    table: str = "documents",
+    key: str = "doc_id",
+    text_col: str = "text",
+    max_expansions: int = 50,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    quantize: bool = True,
+    score_decimals: int = 4,
+) -> str:
+    """DuckDB SQL mirroring phrase_prefix_topk (MultiPhrasePrefixQuery).
+
+    Expansion = first ``max_expansions`` distinct corpus terms with the
+    prefix, in term order (mirrors the term-dictionary walk); freq counts
+    anchors whose final position holds ANY expansion; sum_idf adds every
+    expansion's idf (Lucene MultiPhraseQuery idfExplain sums all terms).
+    """
+    esc = [t.replace("'", "''") for t in fixed]
+    p = prefix.replace("'", "''")
+    n = len(fixed) + 1
+    fixed_cond = " AND ".join(f"t[i+{i}] = '{w}'" for i, w in enumerate(esc))
+    last_cond = f"list_contains(el, t[i+{n - 1}])"
+    cond = f"{fixed_cond} AND {last_cond}" if fixed_cond else last_cond
+    fixed_idf = " + ".join(
+        f"ln(1.0 + (s.n_docs - (SELECT count(*) FROM toks WHERE list_contains(t, '{w}')) + 0.5)"
+        f" / ((SELECT count(*) FROM toks WHERE list_contains(t, '{w}')) + 0.5))"
+        for w in esc
+    )
+    if quantize:
+        ranges = _ranges_cte() + ","
+        dle = (
+            f"dle AS (SELECT dl.{key}, COALESCE(r.dl_eff, 0.0) AS dl_eff "
+            f"FROM dl LEFT JOIN ranges r ON dl.doc_len BETWEEN r.lo AND r.hi),"
+        )
+    else:
+        ranges = ""
+        dle = f"dle AS (SELECT {key}, CAST(doc_len AS DOUBLE) AS dl_eff FROM dl),"
+    sum_idf = f"(SELECT v FROM expidf)" + (f" + {fixed_idf}" if fixed_idf else "")
+    return f"""
+WITH toks AS (
+  SELECT {key}, regexp_extract_all(lower({text_col}), '{SIMPLE_TOKEN_SQL}') AS t
+  FROM {table}
+),
+dl AS (SELECT {key}, len(t) AS doc_len FROM toks),
+{ranges}
+{dle}
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+docterms AS (SELECT {key}, unnest(t) AS term FROM toks),
+exp AS (
+  SELECT DISTINCT term FROM docterms
+  WHERE term LIKE '{p}%' ORDER BY term LIMIT {max_expansions}
+),
+expl AS (SELECT list(term ORDER BY term) AS el FROM exp),
+expdf AS (
+  SELECT term, count(DISTINCT {key}) AS df FROM docterms
+  WHERE term IN (SELECT term FROM exp) GROUP BY term
+),
+expidf AS (
+  SELECT sum(ln(1.0 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))) AS v
+  FROM expdf e CROSS JOIN stats s
+),
+freqs AS (
+  SELECT {key},
+         len([i for i in range(1, greatest(len(t) - {n} + 2, 1)) if {cond}]) AS freq
+  FROM toks CROSS JOIN expl
+)
+SELECT f.{key} AS {key},
+       round(({sum_idf}) * (f.freq * {k1 + 1.0})
+             / (f.freq + {k1} * (1.0 - {b} + {b} * e.dl_eff / s.avgdl)),
+             {score_decimals}) AS score
+FROM freqs f
+JOIN dle e USING ({key})
+CROSS JOIN stats s
+WHERE f.freq > 0
+ORDER BY score DESC, f.{key} ASC
+LIMIT {k}
+""".strip()

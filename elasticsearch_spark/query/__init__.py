@@ -1,4 +1,5 @@
 from elasticsearch_spark.query.executor import (
+    phrase_prefix_topk,
     phrase_topk,
     query_string_search,
     search_topk,
@@ -13,6 +14,7 @@ from elasticsearch_spark.query.online import (
 __all__ = [
     "search_topk",
     "phrase_topk",
+    "phrase_prefix_topk",
     "query_string_search",
     "simple_query_string_search",
     "bm25_topk_online",

@@ -474,6 +474,166 @@ def _segment_phrase_scorer(
     return score_fn
 
 
+def _anchors_to_topk(
+    anchors: np.ndarray,
+    allowed: np.ndarray | None,
+    dl_eff: np.ndarray,
+    sum_idf: float,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    shift: int,
+    empty: pd.DataFrame,
+) -> pd.DataFrame:
+    """Shared phrase-scorer tail: anchor keys → per-doc freq → BM25 top-k."""
+    match_docs = (anchors >> shift).astype(np.int64)
+    udocs, freqs = np.unique(match_docs, return_counts=True)
+    if allowed is not None:
+        keep = allowed[udocs]
+        udocs, freqs = udocs[keep], freqs[keep]
+    if udocs.size == 0:
+        return empty
+    c0 = k1 * (1.0 - b)
+    c1 = k1 * b / avgdl
+    f = freqs.astype(np.float64)
+    score = sum_idf * (f * (k1 + 1.0)) / (f + c0 + c1 * dl_eff[udocs])
+    cand, cscores = udocs, score
+    if cand.size > k:
+        part = np.argpartition(-cscores, k - 1)
+        theta = cscores[part[k - 1]]
+        sel = cscores >= theta
+        cand, cscores = cand[sel], cscores[sel]
+    order = np.lexsort((cand, -cscores))
+    cand, cscores = cand[order], cscores[order]
+    return pd.DataFrame({"local_doc_id": cand.astype(np.int32), "score": cscores})
+
+
+def phrase_prefix_topk(
+    reader: IndexReader,
+    text: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    filter_cond: Column | None = None,
+    extra_cols: Iterable[str] = (),
+    mode: str = "auto",
+    local_postings_limit: int = 2_000_000,
+) -> DataFrame:
+    """match_phrase_prefix top-k over the positional index.
+
+    Reference semantics: index/search/MatchQuery.java:215-220 builds a
+    MultiPhrasePrefixQuery — the final position matches ANY term whose
+    prefix is the last analyzed token, expansion capped at ``max_expansions``
+    (Lucene default 50) in term-dictionary order. Exact positions (slop=0):
+    freq(doc) = #anchors p with term_i at p+i for the fixed terms and any
+    expansion at p+(n-1); score = (Σ idf(fixed) + Σ idf(expansions)) ·
+    tfNorm(freq) — Lucene MultiPhraseQuery sums the idf of every term it
+    unions (TermStatistics list in idfExplain).
+    """
+    cfg = reader.cfg
+    tokens = tokenize_text(text, cfg.analyzer)
+    if not tokens:
+        return _empty_result(reader, extra_cols)
+    if not cfg.index_positions:
+        raise ValueError("index was built with index_positions=False")
+    fixed, prefix = tokens[:-1], tokens[-1]
+    exp = reader.prefix_term_stats(prefix, max_expansions)
+    if not exp:
+        return _empty_result(reader, extra_cols)
+    stats = reader.query_term_stats(fixed)
+    if any(stats.get(t, (0, 0))[0] == 0 for t in fixed):
+        return _empty_result(reader, extra_cols)
+
+    n = reader.n_docs
+    sum_idf = float(
+        sum(lucene_idf(n, stats[t][0]) for t in fixed)
+        + sum(lucene_idf(n, df) for _, df, _ in exp)
+    )
+    exp_terms = [t for t, _, _ in exp]
+    score_fn = _segment_phrase_prefix_scorer(
+        fixed, exp_terms, sum_idf, k, cfg.bm25.k1, cfg.bm25.b, reader.avgdl,
+        cfg.bm25.quantize_norms,
+    )
+    present = list(dict.fromkeys([*fixed, *exp_terms]))
+    est = sum(stats[t][1] for t in dict.fromkeys(fixed)) + sum(
+        ttf for _, _, ttf in exp
+    )
+    return _execute(
+        reader, score_fn, present, k, filter_cond, list(extra_cols), mode, est,
+        local_postings_limit, _PHRASE_COLUMNS,
+    )
+
+
+def _segment_phrase_prefix_scorer(
+    fixed: list[str],
+    exp_terms: list[str],
+    sum_idf: float,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    quantize: bool,
+):
+    """Per-segment MultiPhrasePrefix matcher: the prefix position is the
+    sorted union of the expansion terms' position keys."""
+    SHIFT = 22
+    prefix_offset = len(fixed)
+
+    def score_fn(post: pd.DataFrame, aux: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "local_doc_id": pd.Series([], dtype="int32"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        if post.empty or aux.empty:
+            return empty
+        n_docs = int(aux["n_docs"].iloc[0])
+        doc_lens = np.frombuffer(aux["doc_len_packed"].iloc[0], dtype=np.uint32)
+        dl_eff = effective_doc_length(doc_lens, quantize=quantize)
+        allowed = _allowed_mask(aux, n_docs)
+
+        post = post.sort_values(["term", "first_doc"])
+        by_term = {t: g for t, g in post.groupby("term", sort=False)}
+        if any(t not in by_term for t in set(fixed)):
+            return empty
+        exp_present = [t for t in exp_terms if t in by_term]
+        if not exp_present:
+            return empty
+
+        def keys_of(t: str, offset: int) -> np.ndarray:
+            docs, tfs, pos = _decode_term_pos(by_term[t])
+            doc_of_pos = np.repeat(docs, tfs.astype(np.int64))
+            adj = pos.astype(np.int64) - offset
+            valid = adj >= 0  # exact positions: negative adj can't anchor
+            return (doc_of_pos[valid] << SHIFT) + adj[valid]
+
+        # union over expansions (one token per position → keys are unique)
+        union_keys = np.sort(
+            np.concatenate([keys_of(t, prefix_offset) for t in exp_present])
+        )
+        anchors = None
+        for i, t in enumerate(fixed):
+            keys = keys_of(t, i)
+            anchors = (
+                keys if anchors is None
+                else np.intersect1d(anchors, keys, assume_unique=True)
+            )
+            if anchors.size == 0:
+                return empty
+        anchors = (
+            union_keys if anchors is None
+            else np.intersect1d(anchors, union_keys, assume_unique=True)
+        )
+        if anchors.size == 0:
+            return empty
+        return _anchors_to_topk(
+            anchors, allowed, dl_eff, sum_idf, k, k1, b, avgdl, SHIFT, empty
+        )
+
+    return score_fn
+
+
 def query_string_search(
     reader: IndexReader,
     query: str,

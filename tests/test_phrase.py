@@ -95,3 +95,31 @@ def test_phrase_survives_tiered_merge(setup, spark):
     for (text, slop), want in before.items():
         got = [tuple(r) for r in phrase_topk(reader2, text, k=10, slop=slop).collect()]
         assert got == want, (text, slop)
+
+
+@pytest.mark.parametrize("mode", ["local", "spark"])
+def test_phrase_prefix_rank_identical(setup, mode):
+    """match_phrase_prefix (MatchQuery.java:215-220) vs the PyRef oracle,
+    including prefix-only queries and a binding expansion cap."""
+    from elasticsearch_spark.query import phrase_prefix_topk
+
+    reader, oracle, _ = setup
+    cases = [
+        ("alpha bet", 50),    # classic autocomplete shape
+        ("tok000", 50),       # prefix-only (no fixed terms)
+        ("alpha beta gam", 50),
+        ("tiebreak alp", 50),
+        ("alpha t", 3),       # cap binds: first 3 dictionary terms only
+        ("zzz_absent pre", 50),
+    ]
+    for text, max_exp in cases:
+        got = [
+            ((r["conv_id"], r["turn_idx"]), r["score"])
+            for r in phrase_prefix_topk(
+                reader, text, k=10, max_expansions=max_exp, mode=mode
+            ).collect()
+        ]
+        want = oracle.match_phrase_prefix(text, k=10, max_expansions=max_exp)
+        assert [g[0] for g in got] == [w[0] for w in want], (text, max_exp, mode)
+        for (_, a), (_, b) in zip(got, want):
+            assert abs(a - b) <= 1e-9 * max(1.0, abs(b)), (text, a, b)
