@@ -25,6 +25,7 @@ from elasticsearch_spark.oracle.sqlgen import (
     mlt_sql,
     multi_match_sql,
     phrase_prefix_sql,
+    span_sql,
 )
 from elasticsearch_spark.pipeline import dedup, similarity, textstats
 from elasticsearch_spark.query.online import bm25_topk_online
@@ -371,6 +372,66 @@ register(
     # token lists (nested list comprehensions mirror the anchor kernel)
     bm25_phrase_sql(["table", "hash"], k=10, slop=2),
 )(lambda spark, sf: _indexed_phrase(spark, sf, "table hash", k=10, slop=2))
+
+
+# --------------------------------------------------------------------------
+# Span queries (reg. IndicesQueriesModule.java:90-95) — query/spans.py
+# --------------------------------------------------------------------------
+
+
+def _span_entry(fn_name, *args, **kw):
+    def run(spark, sf):
+        from elasticsearch_spark.query import spans
+
+        out = getattr(spans, fn_name)(_indexed_reader(spark, sf), *args, **kw)
+        return (
+            out.withColumn("score", F.round("score", 4))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(kw.get("k", 10))
+        )
+
+    return run
+
+
+register(
+    "span_first",
+    span_sql(
+        "len([p for p in range(1, len(t) + 1) if t[p] = 'table' AND p <= 5])",
+        ["table"], k=15,
+    ),
+)(_span_entry("span_first_topk", "table", 5, k=15))
+
+register(
+    "span_near_ordered",
+    span_sql(
+        "len([p for p in range(1, len(t) + 1) if t[p] = 'scan'"
+        " AND len([q2 for q2 in range(1, len(t) + 1) if t[q2] = 'merge'"
+        " AND q2 - p - 2 <= 5"
+        " AND len([q1 for q1 in range(1, len(t) + 1) if t[q1] = 'table'"
+        " AND q1 > p AND q1 < q2]) > 0]) > 0])",
+        ["scan", "table", "merge"], k=10,
+    ),
+)(_span_entry("span_near_topk", ["scan", "table", "merge"], slop=5, k=10))
+
+register(
+    "span_near_unordered",
+    span_sql(
+        "len([p for p in range(1, len(t) + 1) if t[p] = 'hash'"
+        " AND len([q for q in range(1, len(t) + 1) if t[q] = 'join'"
+        " AND q != p AND abs(q - p) - 1 <= 2]) > 0])",
+        ["hash", "join"], k=10,
+    ),
+)(_span_entry("span_near_topk", ["hash", "join"], slop=2, in_order=False, k=10))
+
+register(
+    "span_not",
+    span_sql(
+        "len([p for p in range(1, len(t) + 1) if t[p] = 'table'"
+        " AND len([q for q in range(1, len(t) + 1) if t[q] = 'fast'"
+        " AND q >= p - 1 AND q <= p + 1]) = 0])",
+        ["table"], k=10,
+    ),
+)(_span_entry("span_not_topk", "table", "fast", pre=1, post=1, k=10))
 
 
 _QS_SQL = f"""

@@ -337,6 +337,82 @@ class PyRefEngine:
         hits.sort(key=lambda kv: (-kv[1], kv[0]))
         return hits[:k]
 
+    def _tfnorm_score(self, key: Any, freq: int, sum_idf: float) -> float:
+        k1, b = self.bm25.k1, self.bm25.b
+        dle = self._dl_eff(key)
+        return sum_idf * freq * (k1 + 1.0) / (
+            freq + k1 * (1.0 - b + b * dle / self.avgdl)
+        )
+
+    def span_first(self, term: str, end: int, k: int = 10) -> list[tuple[Any, float]]:
+        """SpanFirstQuery: occurrences at position < end (width-1 spans)."""
+        t = tokenize_text(term, self.analyzer)[0]
+        idf = self.idf(t)
+        hits = []
+        for key, plist in self.positions.get(t, {}).items():
+            freq = sum(1 for p in plist if p < end)
+            if freq:
+                hits.append((key, self._tfnorm_score(key, freq, idf)))
+        hits.sort(key=lambda kv: (-kv[1], kv[0]))
+        return hits[:k]
+
+    def span_near(
+        self, terms: Sequence[str], slop: int = 0, in_order: bool = True,
+        k: int = 10,
+    ) -> list[tuple[Any, float]]:
+        """SpanNearQuery over term clauses — same documented semantics as
+        query/spans.py (greedy ordered chain / unordered pair)."""
+        toks = [tokenize_text(w, self.analyzer)[0] for w in terms]
+        sum_idf = sum(self.idf(t) for t in toks)
+        cand = set(self.positions.get(toks[0], {}))
+        for t in toks[1:]:
+            cand &= set(self.positions.get(t, {}))
+        hits = []
+        for key in cand:
+            freq = 0
+            for p in self.positions[toks[0]][key]:
+                if in_order:
+                    cur, ok = p, True
+                    for t in toks[1:]:
+                        nxt = [q for q in self.positions[t][key] if q > cur]
+                        if not nxt:
+                            ok = False
+                            break
+                        cur = min(nxt)
+                    if ok and cur - p - (len(toks) - 1) <= slop:
+                        freq += 1
+                else:
+                    if any(
+                        q != p and abs(q - p) - 1 <= slop
+                        for q in self.positions[toks[1]][key]
+                    ):
+                        freq += 1
+            if freq:
+                hits.append((key, self._tfnorm_score(key, freq, sum_idf)))
+        hits.sort(key=lambda kv: (-kv[1], kv[0]))
+        return hits[:k]
+
+    def span_not(
+        self, include: str, exclude: str, pre: int = 0, post: int = 0,
+        k: int = 10,
+    ) -> list[tuple[Any, float]]:
+        """SpanNotQuery: include spans with no exclude in [p-pre, p+post]."""
+        inc = tokenize_text(include, self.analyzer)[0]
+        exc_toks = tokenize_text(exclude, self.analyzer)
+        exc = exc_toks[0] if exc_toks else None
+        idf = self.idf(inc)
+        hits = []
+        for key, plist in self.positions.get(inc, {}).items():
+            ex = self.positions.get(exc, {}).get(key, []) if exc else []
+            freq = sum(
+                1 for p in plist
+                if not any(p - pre <= q <= p + post for q in ex)
+            )
+            if freq:
+                hits.append((key, self._tfnorm_score(key, freq, idf)))
+        hits.sort(key=lambda kv: (-kv[1], kv[0]))
+        return hits[:k]
+
     def term_query(self, term: str, k: int = 10, filter_fn=None) -> list[tuple[Any, float]]:
         """Single-term query, no analysis (TermQueryParser.java semantics)."""
         hits = [

@@ -505,3 +505,66 @@ WHERE f.freq > 0
 ORDER BY score DESC, f.{key} ASC
 LIMIT {k}
 """.strip()
+
+
+def span_sql(
+    freq_expr: str,
+    idf_terms: Sequence[str],
+    table: str = "documents",
+    key: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    quantize: bool = True,
+    score_decimals: int = 4,
+) -> str:
+    """DuckDB SQL for a span query given its per-doc freq comprehension.
+
+    ``freq_expr`` is a DuckDB expression over the token list ``t`` counting
+    matching anchor positions (1-indexed) — built by the span entries to
+    mirror query/spans.py kernels. score = (Σ idf(idf_terms)) · tfNorm(freq).
+    """
+    esc = [t.replace("'", "''") for t in idf_terms]
+    df_cols = ",".join(
+        f"sum(CASE WHEN list_contains(t, '{w}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, w in enumerate(esc)
+    )
+    sum_idf = " + ".join(
+        f"ln(1.0 + (s.n_docs - d.df{i} + 0.5) / (d.df{i} + 0.5))"
+        for i in range(len(esc))
+    )
+    if quantize:
+        ranges = _ranges_cte() + ","
+        dle = (
+            f"dle AS (SELECT dl.{key}, COALESCE(r.dl_eff, 0.0) AS dl_eff "
+            f"FROM dl LEFT JOIN ranges r ON dl.doc_len BETWEEN r.lo AND r.hi),"
+        )
+    else:
+        ranges = ""
+        dle = f"dle AS (SELECT {key}, CAST(doc_len AS DOUBLE) AS dl_eff FROM dl),"
+    return f"""
+WITH toks AS (
+  SELECT {key}, regexp_extract_all(lower({text_col}), '{SIMPLE_TOKEN_SQL}') AS t
+  FROM {table}
+),
+dl AS (SELECT {key}, len(t) AS doc_len FROM toks),
+{ranges}
+{dle}
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+dfs AS (SELECT {df_cols} FROM toks),
+freqs AS (SELECT {key}, {freq_expr} AS freq FROM toks)
+SELECT f.{key} AS {key},
+       round(({sum_idf}) * (f.freq * {k1 + 1.0})
+             / (f.freq + {k1} * (1.0 - {b} + {b} * e.dl_eff / s.avgdl)),
+             {score_decimals}) AS score
+FROM freqs f
+JOIN dle e USING ({key})
+CROSS JOIN stats s CROSS JOIN dfs d
+WHERE f.freq > 0
+ORDER BY score DESC, f.{key} ASC
+LIMIT {k}
+""".strip()
