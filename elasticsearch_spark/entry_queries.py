@@ -20,6 +20,7 @@ from elasticsearch_spark.oracle.sqlgen import (
     _field_score_cte,
     _ranges_cte,
     bm25_phrase_sql,
+    common_terms_sql,
     bm25_topk_sql,
     fuzzy_sql,
     mlt_sql,
@@ -372,6 +373,28 @@ register(
     # token lists (nested list comprehensions mirror the anchor kernel)
     bm25_phrase_sql(["table", "hash"], k=10, slop=2),
 )(lambda spark, sf: _indexed_phrase(spark, sf, "table hash", k=10, slop=2))
+
+
+def _common_terms_query(spark, sf):
+    from elasticsearch_spark.query import common_terms_search
+
+    # 'dup' is rare (df/N ~ 0.05) → required; 'table'/'scan' are common
+    # (~0.8) → score-only SHOULD
+    out = common_terms_search(
+        _indexed_reader(spark, sf), "dup table scan", cutoff_frequency=0.5,
+        k=10,
+    )
+    return (
+        out.withColumn("score", F.round("score", 4))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+register(
+    "common_terms",
+    common_terms_sql(["dup", "table", "scan"], cutoff_frequency=0.5, k=10),
+)(_common_terms_query)
 
 
 # --------------------------------------------------------------------------

@@ -337,6 +337,34 @@ class PyRefEngine:
         hits.sort(key=lambda kv: (-kv[1], kv[0]))
         return hits[:k]
 
+    def common_terms(
+        self, query_text: str, cutoff_frequency: float = 0.01, k: int = 10
+    ) -> list[tuple[Any, float]]:
+        """common terms oracle — same df/N split + gating as
+        executor.common_terms_search (low group any-of required, high group
+        score-only; plain disjunction when no low term exists)."""
+        toks = list(dict.fromkeys(tokenize_text(query_text, self.analyzer)))
+        n = max(self.n_docs, 1)
+        present = [t for t in toks if self.postings.get(t)]
+        low = [
+            t for t in present
+            if len(self.postings[t]) / n <= cutoff_frequency
+        ]
+        if not present:
+            return []
+        scores: dict[Any, float] = defaultdict(float)
+        for t in present:
+            for key in self.postings[t]:
+                scores[key] += self.term_score(t, key)
+        if low:
+            gate = {key for t in low for key in self.postings[t]}
+            hits = [(key, s) for key, s in scores.items() if key in gate]
+        else:
+            hits = list(scores.items())
+        hits = [(key, s) for key, s in hits if s > 0.0]
+        hits.sort(key=lambda kv: (-kv[1], kv[0]))
+        return hits[:k]
+
     def _tfnorm_score(self, key: Any, freq: int, sum_idf: float) -> float:
         k1, b = self.bm25.k1, self.bm25.b
         dle = self._dl_eff(key)

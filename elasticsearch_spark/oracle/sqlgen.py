@@ -568,3 +568,74 @@ WHERE f.freq > 0
 ORDER BY score DESC, f.{key} ASC
 LIMIT {k}
 """.strip()
+
+
+def common_terms_sql(
+    terms: Sequence[str],
+    cutoff_frequency: float,
+    table: str = "documents",
+    key: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    quantize: bool = True,
+    score_decimals: int = 4,
+) -> str:
+    """DuckDB SQL mirroring common_terms_search: df/N split, low group
+    required (any-of) and scored, high group score-only; plain disjunction
+    when no low-frequency term exists."""
+    terms_sql = ",".join("'" + t.replace("'", "''") + "'" for t in terms)
+    if quantize:
+        ranges = _ranges_cte() + ","
+        dle = (
+            f"dle AS (SELECT dl.{key}, COALESCE(r.dl_eff, 0.0) AS dl_eff "
+            f"FROM dl LEFT JOIN ranges r ON dl.doc_len BETWEEN r.lo AND r.hi),"
+        )
+    else:
+        ranges = ""
+        dle = f"dle AS (SELECT {key}, CAST(doc_len AS DOUBLE) AS dl_eff FROM dl),"
+    return f"""
+WITH toks AS (
+  SELECT {key}, regexp_extract_all(lower({text_col}), '{SIMPLE_TOKEN_SQL}') AS t
+  FROM {table}
+),
+dl AS (SELECT {key}, len(t) AS doc_len FROM toks),
+{ranges}
+{dle}
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+hits AS (
+  SELECT {key}, term, count(*) AS tf
+  FROM (SELECT {key}, unnest(t) AS term FROM toks)
+  WHERE term IN ({terms_sql})
+  GROUP BY {key}, term
+),
+tstats AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+lowt AS (
+  SELECT term FROM tstats CROSS JOIN stats s
+  WHERE df / CAST(s.n_docs AS DOUBLE) <= {cutoff_frequency}
+),
+scored AS (
+  SELECT h.{key},
+         ln(1.0 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (h.tf * {k1 + 1.0})
+           / (h.tf + {k1} * (1.0 - {b} + {b} * e.dl_eff / s.avgdl)) AS tsc
+  FROM hits h
+  JOIN tstats ts USING (term)
+  JOIN dle e USING ({key})
+  CROSS JOIN stats s
+),
+perdoc AS (SELECT {key}, sum(tsc) AS raw FROM scored GROUP BY {key}),
+lowdocs AS (
+  SELECT DISTINCT {key} FROM hits WHERE term IN (SELECT term FROM lowt)
+)
+SELECT p.{key} AS {key}, round(p.raw, {score_decimals}) AS score
+FROM perdoc p
+WHERE (NOT EXISTS (SELECT 1 FROM lowt))
+   OR p.{key} IN (SELECT {key} FROM lowdocs)
+ORDER BY round(p.raw, {score_decimals}) DESC, p.{key} ASC
+LIMIT {k}
+""".strip()

@@ -1,4 +1,5 @@
 from elasticsearch_spark.query.executor import (
+    common_terms_search,
     phrase_prefix_topk,
     phrase_topk,
     query_string_search,
@@ -15,6 +16,7 @@ __all__ = [
     "search_topk",
     "phrase_topk",
     "phrase_prefix_topk",
+    "common_terms_search",
     "query_string_search",
     "simple_query_string_search",
     "bm25_topk_online",

@@ -725,6 +725,56 @@ def query_string_search(
     )
 
 
+def common_terms_search(
+    reader: IndexReader,
+    query_text: str,
+    cutoff_frequency: float = 0.01,
+    k: int = 10,
+    filter_cond: Column | None = None,
+    extra_cols: Iterable[str] = (),
+    mode: str = "auto",
+    local_postings_limit: int = 2_000_000,
+) -> DataFrame:
+    """common terms query (CommonTermsQueryParser.java, 229 LoC).
+
+    Terms are split at the document-frequency cutoff (df/N >
+    cutoff_frequency → high). The low-frequency group is required
+    (any-of/OR, the default low_freq_operator) and scores; the
+    high-frequency group is optional and only contributes score — the
+    stop-word-free way to keep 'the'/'a' from gating matches. If no
+    low-frequency term exists in the index the high group gates instead
+    (Lucene CommonTermsQuery degenerates to the plain disjunction).
+    """
+    from elasticsearch_spark.ops.mlt import common_terms_split
+
+    low, high = common_terms_split(reader, query_text, cutoff_frequency)
+    stats = reader.query_term_stats(low + high)
+    n = reader.n_docs
+    lw = {t: lucene_idf(n, stats[t][0]) for t in low if stats.get(t, (0, 0))[0] > 0}
+    hw = {t: lucene_idf(n, stats[t][0]) for t in high if stats.get(t, (0, 0))[0] > 0}
+    prepared = []
+    if lw:
+        prepared.append(("must", "terms", lw))
+        if hw:
+            prepared.append(("should", "terms", hw))
+    elif hw:
+        prepared.append(("should", "terms", hw))
+    else:
+        return _empty_result(reader, extra_cols)
+
+    cfg = reader.cfg
+    score_fn = _segment_bool_scorer(
+        prepared, 1, k, cfg.bm25.k1, cfg.bm25.b, reader.avgdl,
+        cfg.bm25.quantize_norms,
+    )
+    needed = sorted({*lw, *hw})
+    est = sum(stats[t][0] for t in needed)
+    return _execute(
+        reader, score_fn, needed, k, filter_cond, list(extra_cols), mode, est,
+        local_postings_limit, _MATCH_COLUMNS,
+    )
+
+
 def simple_query_string_search(
     reader: IndexReader,
     query: str,

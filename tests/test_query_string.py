@@ -91,3 +91,29 @@ def test_simple_query_string_lenient(setup):
     # malformed / unbalanced input must not raise and should return hits
     out = simple_query_string_search(reader, '((error "unclosed ~x^', k=10)
     assert out.count() >= 0
+
+
+@pytest.mark.parametrize("mode", ["local", "spark"])
+def test_common_terms_rank_identical(setup, mode):
+    """CommonTermsQuery (CommonTermsQueryParser.java): low-freq terms gate,
+    high-freq terms only score; degenerates to plain OR with no low term."""
+    from elasticsearch_spark.query import common_terms_search
+
+    reader, oracle = setup
+    cases = [
+        ("tok0001 error retry", 0.2),     # tok0001 rare → required
+        ("error timeout", 1.0),           # everything 'common' → plain OR
+        ("tok0001 tok0002 error", 0.2),   # two rare gates (either suffices)
+        ("zzz_absent error", 0.0001),     # absent low term drops out
+    ]
+    for text, cutoff in cases:
+        got = [
+            ((r["conv_id"], r["turn_idx"]), r["score"])
+            for r in common_terms_search(
+                reader, text, cutoff_frequency=cutoff, k=10, mode=mode
+            ).collect()
+        ]
+        want = oracle.common_terms(text, cutoff_frequency=cutoff, k=10)
+        assert [g[0] for g in got] == [w[0] for w in want], (text, cutoff, mode)
+        for (_, a), (_, b) in zip(got, want):
+            assert abs(a - b) <= 1e-9 * max(1.0, abs(b)), (text, a, b)
