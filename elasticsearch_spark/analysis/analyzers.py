@@ -33,6 +33,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from elasticsearch_spark.config import AnalyzerConfig
+from elasticsearch_spark.analysis.filters import (
+    asciifold,
+    html_strip,
+    html_strip_series,
+    porter_stem,
+    shingles,
+)
 
 # --- UAX#29-equivalent token pattern -------------------------------------
 # CJK ideographs: one token per character (StandardTokenizer IDEOGRAPHIC).
@@ -75,11 +82,54 @@ def _chunk_long(tokens: list[str], max_len: int) -> list[str]:
     return out
 
 
+def _char_filter_text(text: str, cfg: AnalyzerConfig) -> str:
+    for name in cfg.char_filters:
+        if name == "html_strip":
+            text = html_strip(text)
+        else:
+            raise ValueError(f"unknown char filter: {name}")
+    return text
+
+
+def _char_filter_series(s: pd.Series, cfg: AnalyzerConfig) -> pd.Series:
+    for name in cfg.char_filters:
+        if name == "html_strip":
+            s = html_strip_series(s)
+        else:
+            raise ValueError(f"unknown char filter: {name}")
+    return s
+
+
+def make_token_filter(cfg: AnalyzerConfig):
+    """Compose the 1:1 token filters (tuple order) → callable or None."""
+    if not cfg.token_filters:
+        return None
+    syn = {a: b for a, b in cfg.synonyms}
+    funcs = []
+    for name in cfg.token_filters:
+        if name == "asciifolding":
+            funcs.append(asciifold)
+        elif name == "porter_stem":
+            funcs.append(porter_stem)
+        elif name == "synonym":
+            funcs.append(lambda t: syn.get(t, t))
+        else:
+            raise ValueError(f"unknown token filter: {name}")
+
+    def apply(t: str) -> str:
+        for f in funcs:
+            t = f(t)
+        return t
+
+    return apply
+
+
 def tokenize_text(text: str, cfg: AnalyzerConfig | None = None) -> list[str]:
     """Single-string analyze (driver-side / oracle use)."""
     cfg = cfg or AnalyzerConfig()
     if text is None:
         return []
+    text = _char_filter_text(text, cfg)
     if cfg.kind == "standard":
         toks = _STANDARD_RE.findall(text)
         toks = _chunk_long(toks, cfg.max_token_length)
@@ -96,6 +146,11 @@ def tokenize_text(text: str, cfg: AnalyzerConfig | None = None) -> list[str]:
     if cfg.stopwords:
         stop = set(cfg.stopwords)
         toks = [t for t in toks if t not in stop]
+    tf = make_token_filter(cfg)
+    if tf is not None:
+        toks = [tf(t) for t in toks]
+    if cfg.shingle_size > 1:
+        toks = shingles(toks, cfg.shingle_size)
     return toks
 
 
@@ -106,7 +161,7 @@ def analyze_series(s: pd.Series, cfg: AnalyzerConfig | None = None) -> pd.Series
     (C-loop over the batch), never a Python-level row loop in Spark.
     """
     cfg = cfg or AnalyzerConfig()
-    s = s.fillna("")
+    s = _char_filter_series(s.fillna(""), cfg)
     if cfg.kind == "standard":
         toks = s.str.findall(_STANDARD_RE)
         if cfg.max_token_length:
@@ -125,6 +180,12 @@ def analyze_series(s: pd.Series, cfg: AnalyzerConfig | None = None) -> pd.Series
     if cfg.stopwords:
         stop = set(cfg.stopwords)
         toks = toks.map(lambda ts: [t for t in ts if t not in stop])
+    tf = make_token_filter(cfg)
+    if tf is not None:
+        toks = toks.map(lambda ts: [tf(t) for t in ts])
+    if cfg.shingle_size > 1:
+        n = cfg.shingle_size
+        toks = toks.map(lambda ts: shingles(ts, n))
     return toks
 
 
@@ -140,7 +201,11 @@ def analyze_flat(s: pd.Series, cfg: AnalyzerConfig | None = None):
     import numpy as np
 
     cfg = cfg or AnalyzerConfig()
-    if cfg.stopwords or cfg.kind not in ("standard", "simple", "whitespace"):
+    if (
+        cfg.stopwords or cfg.token_filters or cfg.char_filters
+        or cfg.shingle_size
+        or cfg.kind not in ("standard", "simple", "whitespace")
+    ):
         # uncommon configs take the reference path
         toks = analyze_series(s, cfg)
         lens = toks.str.len().to_numpy(np.int64)
@@ -210,10 +275,13 @@ def analyze_codes(s: pd.Series, cfg: AnalyzerConfig | None = None):
         codes, uniques = pd.factorize(flat)
         return codes, np.asarray(uniques, dtype=object), lens
 
-    if cfg.stopwords or cfg.kind not in ("standard", "simple", "whitespace"):
+    if (
+        cfg.stopwords or cfg.shingle_size
+        or cfg.kind not in ("standard", "simple", "whitespace")
+    ):
         return slow()
 
-    sf = s.fillna("")
+    sf = _char_filter_series(s.fillna(""), cfg)
     if cfg.kind == "standard":
         toks = sf.str.findall(_STANDARD_RE)
     elif cfg.kind == "simple":
@@ -238,22 +306,65 @@ def analyze_codes(s: pd.Series, cfg: AnalyzerConfig | None = None):
             )
             codes = low_codes[codes] if len(codes) else codes
             uniques = np.asarray(low_uniques, dtype=object)
+    tf = make_token_filter(cfg)
+    if tf is not None and len(uniques):
+        # 1:1 filters (porter/asciifold/synonym) run over the VOCABULARY,
+        # not the occurrences — O(vocab) python, then an int remap
+        f_codes, f_uniques = pd.factorize(
+            np.array([tf(u) for u in uniques], dtype=object)
+        )
+        codes = f_codes[codes] if len(codes) else codes
+        uniques = np.asarray(f_uniques, dtype=object)
     return codes, uniques, lens
+
+
+def sql_char_filter_expr(col: str, cfg: AnalyzerConfig) -> str:
+    """Wrap a column expression with the SQL-expressible char filters."""
+    out = col
+    for name in cfg.char_filters:
+        if name == "html_strip":
+            out = f"regexp_replace({out}, '<[^>]*>', ' ')"
+            # fixed entity table — kept identical to filters._ENTITIES
+            for ent, rep in (
+                ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '\\"'),
+                ("&#39;", "\\'"), ("&nbsp;", " "), ("&amp;", "&"),
+            ):
+                out = f"replace({out}, '{ent}', '{rep}')"
+        else:
+            return ""
+    return out
 
 
 def sql_tokenize_expr(col: str, cfg: AnalyzerConfig) -> str | None:
     """Native Spark SQL expression for analyzers that need no Python.
 
-    Returns None when the analyzer requires the pandas path ("standard").
+    Returns None when the analyzer requires the pandas path ("standard"
+    tokenizer, or any non-1:1-SQL token filter like porter_stem).
+    html_strip and shingles stay JVM-side.
     """
+    if cfg.token_filters:
+        return None  # porter/asciifold/synonym → pandas path
+    src = sql_char_filter_expr(col, cfg)
+    if not src:
+        return None
     if cfg.kind == "simple":
-        return f"regexp_extract_all(lower({col}), '{SIMPLE_TOKEN_PATTERN}', 0)"
-    if cfg.kind == "whitespace":
+        base = f"regexp_extract_all(lower({src}), '{SIMPLE_TOKEN_PATTERN}', 0)"
+    elif cfg.kind == "whitespace":
         # split on runs of whitespace, drop empty edge tokens
-        return f"filter(split({col}, '\\\\s+'), x -> x != '')"
-    if cfg.kind == "keyword":
-        return f"array({col})"
-    return None
+        base = f"filter(split({src}, '\\\\s+'), x -> x != '')"
+    elif cfg.kind == "keyword":
+        base = f"array({src})"
+    else:
+        return None
+    if cfg.shingle_size > 1:
+        n = cfg.shingle_size
+        base = (
+            f"case when size({base}) >= {n} then concat({base}, "
+            f"transform(sequence(1, size({base}) - {n} + 1), "
+            f"i -> array_join(slice({base}, i, {n}), ' '))) "
+            f"else {base} end"
+        )
+    return base
 
 
 def tokenize_column(col: str, cfg: AnalyzerConfig | None = None) -> Column:

@@ -46,6 +46,21 @@ class AnalyzerConfig:
     lowercase: bool = True
     max_token_length: int = 255
     stopwords: tuple[str, ...] = ()  # standard analyzer default: empty set
+    # char filters, applied to the raw text before tokenization, in order.
+    # Supported: "html_strip" (HtmlStripCharFilterFactory.java)
+    char_filters: tuple[str, ...] = ()
+    # token filters, applied after lowercase+stopwords, in tuple order.
+    # Supported: "asciifolding" (ASCIIFoldingTokenFilterFactory.java),
+    # "porter_stem" (PorterStemTokenFilterFactory.java), "synonym"
+    # (SynonymTokenFilterFactory.java — 1:1 contraction pairs from
+    # ``synonyms``). All are 1:1 → token counts/positions are unchanged,
+    # so they run at vocabulary level in the builder hot path.
+    token_filters: tuple[str, ...] = ()
+    synonyms: tuple[tuple[str, str], ...] = ()
+    # ShingleTokenFilterFactory.java: when > 1, emit unigrams + adjacent
+    # n-grams (space-joined). Changes token counts → builder takes the
+    # exact (non-factorized) path.
+    shingle_size: int = 0
 
 
 @dataclass(frozen=True)

@@ -375,6 +375,113 @@ register(
 )(lambda spark, sf: _indexed_phrase(spark, sf, "table hash", k=10, slop=2))
 
 
+# --------------------------------------------------------------------------
+# Analysis chain (SURVEY.md §2.9): html_strip / shingles stay JVM-side and
+# oracle-checked; porter stemming is pytest-verified vs PyRef (DuckDB has no
+# offline stemmer) and registered rows-only
+# --------------------------------------------------------------------------
+
+_HTML_WRAP_SQL = """
+WITH wrapped AS (
+  SELECT doc_id,
+         replace(replace(regexp_replace(
+           '<p class="x">' || text || '</p><br>tail &amp; entities &lt;kept&gt;',
+           '<[^>]*>', ' ', 'g'), '&lt;', '<'), '&gt;', '>') AS w
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(lower(replace(w, '&amp;', '&')), '[a-z0-9]+'))
+         AS n_tokens
+FROM wrapped
+""".strip()
+
+
+def _html_strip_query(spark, sf):
+    from elasticsearch_spark.analysis.analyzers import tokenize_column
+
+    cfg = AnalyzerConfig(kind="simple", char_filters=("html_strip",))
+    docs = _t(spark, sf, "documents").withColumn(
+        "wrapped",
+        F.concat(
+            F.lit('<p class="x">'), F.col("text"),
+            F.lit("</p><br>tail &amp; entities &lt;kept&gt;"),
+        ),
+    )
+    return docs.select(
+        "doc_id", F.size(tokenize_column("wrapped", cfg)).alias("n_tokens")
+    )
+
+
+register("analysis_html_strip", _HTML_WRAP_SQL)(_html_strip_query)
+
+
+_SHINGLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS shingle
+  FROM toks WHERE len(t) >= 2
+)
+SELECT shingle, count(*) AS cnt
+FROM big GROUP BY shingle
+ORDER BY cnt DESC, shingle ASC LIMIT 10
+""".strip()
+
+
+def _shingle_query(spark, sf):
+    from elasticsearch_spark.analysis.analyzers import tokenize_column
+
+    cfg = AnalyzerConfig(kind="simple", shingle_size=2)
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(F.explode(tokenize_column("text", cfg)).alias("shingle"))
+        .where(F.col("shingle").contains(" "))  # shingles, not the unigrams
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("shingle").asc())
+        .limit(10)
+    )
+
+
+register("analysis_shingle_top", _SHINGLE_SQL)(_shingle_query)
+
+
+_STEM_INDEX_CACHE: dict[str, str] = {}
+
+
+def _stemmed_reader(spark, sf_dir):
+    from elasticsearch_spark.index import IndexReader, build_index
+
+    key = os.path.abspath(sf_dir)
+    if key not in _STEM_INDEX_CACHE:
+        idx_dir = os.path.join(
+            "/tmp/es_spark_idx_stem", key.strip("/").replace("/", "_")
+        )
+        if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+            cfg = IndexConfig(
+                text_col="text",
+                key_cols=("doc_id",),
+                stored_cols=("lang",),
+                analyzer=AnalyzerConfig(
+                    kind="simple", token_filters=("porter_stem",)
+                ),
+                n_partitions=4,
+            )
+            build_index(spark, _t(spark, sf_dir, "documents"), idx_dir, cfg)
+        _STEM_INDEX_CACHE[key] = idx_dir
+    return IndexReader(spark, _STEM_INDEX_CACHE[key]).cache_views()
+
+
+register("bm25_stemmed_match")(  # porter not available in DuckDB offline
+    lambda spark, sf: __import__(
+        "elasticsearch_spark.query", fromlist=["x"]
+    ).search_topk(_stemmed_reader(spark, sf), "merges grouping", k=10)
+    .withColumn("score", F.round("score", 4))
+    .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+)
+
+
 def _common_terms_query(spark, sf):
     from elasticsearch_spark.query import common_terms_search
 

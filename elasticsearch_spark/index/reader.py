@@ -17,7 +17,12 @@ class IndexReader:
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         c = self.meta["config"]
-        c["analyzer"] = AnalyzerConfig(**{**c["analyzer"], "stopwords": tuple(c["analyzer"]["stopwords"])})
+        a = dict(c["analyzer"])  # JSON round-trip: lists back to tuples
+        a["stopwords"] = tuple(a.get("stopwords", ()))
+        a["char_filters"] = tuple(a.get("char_filters", ()))
+        a["token_filters"] = tuple(a.get("token_filters", ()))
+        a["synonyms"] = tuple(tuple(p) for p in a.get("synonyms", ()))
+        c["analyzer"] = AnalyzerConfig(**a)
         c["bm25"] = BM25Params(**c["bm25"])
         c["key_cols"] = tuple(c["key_cols"])
         c["stored_cols"] = tuple(c["stored_cols"])
