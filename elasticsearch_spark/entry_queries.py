@@ -1256,6 +1256,34 @@ register("ann_ivf_topk")(  # hash-family not in SQL → rows-only check
     )
 )
 
+_IVF_CACHE: dict[str, str] = {}
+
+
+def _ivf_indexed_query(spark, sf):
+    """The IVF scale path: partitioned-by-cell layout + pruned probe read.
+
+    Registered without SQL oracle (xxhash64 family not in DuckDB) but its
+    result set is asserted identical to ann_ivf_topk's ad-hoc path in
+    tests/test_pipeline.py, which IS oracle-checked against brute force."""
+    key = os.path.abspath(sf)
+    if key not in _IVF_CACHE:
+        out = os.path.join("/tmp/es_spark_ivf", key.strip("/").replace("/", "_"))
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            similarity.write_ivf(_t(spark, sf, "embeddings"), "embedding", out, bits=6)
+        _IVF_CACHE[key] = out
+    q = (
+        _t(spark, sf, "embeddings")
+        .where(F.col("vec_id") == 7)
+        .collect()[0]["embedding"]
+    )
+    return similarity.ivf_topk_indexed(
+        spark, _IVF_CACHE[key], "embedding", "vec_id", q, k=10, bits=6,
+        probe_hamming=2,
+    )
+
+
+register("ann_ivf_indexed")(_ivf_indexed_query)
+
 register(
     "text_token_count",
     "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) "

@@ -70,32 +70,16 @@ def hyperplane_cell(vec_col: str, bits: int = 6) -> F.Column:
     return total
 
 
-def ivf_topk(
-    emb: DataFrame,
-    vec_col: str,
-    key_col: str,
-    query_vec: Sequence[float],
-    k: int = 10,
-    bits: int = 6,
-    probe_hamming: int = 1,
-) -> DataFrame:
-    """Approximate top-k: score only vectors whose hyperplane cell is within
-    `probe_hamming` bit flips of the query's cell (multi-probe LSH).
+def probe_cells(
+    emb_or_spark, vec_col: str, query_vec: Sequence[float], bits: int,
+    probe_hamming: int,
+) -> list[int]:
+    """Cells within ``probe_hamming`` bit flips of the query's cell.
 
-    At scale, write the table partitioned by cell id → partition pruning
-    turns this into a sub-scan of nprobe/nlist of the data."""
-    import math
-
-    # query cell computed driver-side with the same hash family
-    import numpy as np
-
-    def _xx_parity(i: int, p: int) -> float:
-        # must match Spark xxhash64(i, p) & 1 — compute via a tiny Spark-free
-        # reimplementation is risky; instead evaluate lazily in the plan.
-        raise NotImplementedError
-
-    # evaluate query cell inside Spark for exact hash parity
-    spark = emb.sparkSession
+    The query cell is evaluated inside Spark with the same hash family as
+    the stored vectors (exact xxhash64 parity — a python reimplementation
+    could drift)."""
+    spark = getattr(emb_or_spark, "sparkSession", emb_or_spark)
     qdf = spark.createDataFrame(
         [([float(x) for x in query_vec],)], f"{vec_col} array<double>"
     )
@@ -109,7 +93,60 @@ def ivf_topk(
             for b1 in range(bits)
             for b2 in range(b1 + 1, bits)
         ]
+    return cells
+
+
+def ivf_topk(
+    emb: DataFrame,
+    vec_col: str,
+    key_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    bits: int = 6,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane cell is within
+    `probe_hamming` bit flips of the query's cell (multi-probe LSH).
+
+    Ad-hoc variant: recomputes cells over the scan (one full pass, no
+    writer needed). For repeated queries at scale use ``write_ivf`` +
+    ``ivf_topk_indexed`` — partition pruning replaces the full pass."""
+    cells = probe_cells(emb, vec_col, query_vec, bits, probe_hamming)
     pruned = emb.withColumn("__cell", hyperplane_cell(vec_col, bits)).where(
         F.col("__cell").isin(cells)
     )
     return cosine_topk(pruned.drop("__cell"), vec_col, key_col, query_vec, k)
+
+
+def write_ivf(
+    emb: DataFrame,
+    vec_col: str,
+    out_dir: str,
+    bits: int = 6,
+) -> None:
+    """Materialize the IVF layout: parquet partitioned by hyperplane cell.
+
+    One pass over the vectors; every later query reads only its probe
+    cells' partitions (directory-level partition pruning — the scan is
+    ~nprobe/2^bits of the data, the IVF inverted-list walk)."""
+    emb.withColumn("cell", hyperplane_cell(vec_col, bits)).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(out_dir)
+
+
+def ivf_topk_indexed(
+    spark,
+    ivf_dir: str,
+    vec_col: str,
+    key_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    bits: int = 6,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k over a ``write_ivf`` layout with partition pruning
+    (``cell IN (probes)`` hits only those hive partitions — verify with
+    .explain: PartitionFilters carries the IN list)."""
+    cells = probe_cells(spark, vec_col, query_vec, bits, probe_hamming)
+    pruned = spark.read.parquet(ivf_dir).where(F.col("cell").isin(cells))
+    return cosine_topk(pruned.drop("cell"), vec_col, key_col, query_vec, k)

@@ -175,3 +175,56 @@ def test_embedding_cosine_dups_exact_verification(spark, emb):
         want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(r.cosine - want) < 1e-9
         assert r.cosine >= 0.5
+
+
+def test_ivf_indexed_matches_adhoc_and_prunes(spark, emb, tmp_path):
+    """write_ivf + ivf_topk_indexed must return exactly what the ad-hoc
+    cell-recompute path returns, and its scan must be partition-pruned to
+    the probe cells (PartitionFilters in the plan, not a full read)."""
+    import io
+    from contextlib import redirect_stdout
+
+    q = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    ivf_dir = str(tmp_path / "ivf")
+    similarity.write_ivf(emb, "embedding", ivf_dir, bits=6)
+
+    adhoc = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in similarity.ivf_topk(
+            emb, "embedding", "vec_id", q, k=10, bits=6, probe_hamming=2
+        ).collect()
+    ]
+    indexed_df = similarity.ivf_topk_indexed(
+        spark, ivf_dir, "embedding", "vec_id", q, k=10, bits=6, probe_hamming=2
+    )
+    indexed = [(r["vec_id"], round(r["cosine"], 9)) for r in indexed_df.collect()]
+    assert indexed == adhoc
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        indexed_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the dynamic/static partition filter must actually carry the IN list
+    assert "cell#" in plan or "cell IN" in plan.replace("`", "")
+
+
+def test_ivf_indexed_recall(spark, emb, tmp_path):
+    q = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    ivf_dir = str(tmp_path / "ivf_r")
+    similarity.write_ivf(emb, "embedding", ivf_dir, bits=6)
+    exact = {
+        r["vec_id"]
+        for r in similarity.cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in similarity.ivf_topk_indexed(
+            spark, ivf_dir, "embedding", "vec_id", q, k=10, bits=6,
+            probe_hamming=2,
+        ).collect()
+    }
+    # same bar as the ad-hoc recall test: the synthetic embeddings are
+    # near-uniform (no cluster structure), which caps hyperplane-LSH recall
+    # at this scan fraction (22/64 cells) — a data property, not a code one
+    assert len(exact & approx) >= 7
