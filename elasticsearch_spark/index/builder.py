@@ -47,9 +47,15 @@ from pyspark.sql import functions as F
 from elasticsearch_spark.analysis.analyzers import analyze_codes
 from elasticsearch_spark.config import IndexConfig
 from elasticsearch_spark.functions.smallfloat import effective_doc_length
+from elasticsearch_spark.index import fsio
 from elasticsearch_spark.index.codec import delta_encode, pack_u32
 
 PID_COL = "__pid"
+
+
+def _join(base: str, *parts: str) -> str:
+    """URI-safe path join (os.path.join would mangle scheme://)."""
+    return "/".join([base.rstrip("/"), *parts])
 
 MANIFEST_SCHEMA = (
     "partition_id int, segment_id string, status string, docs_indexed long, "
@@ -68,13 +74,10 @@ class BuildResult:
 
 
 def _write_deterministic(table: pa.Table, path: str) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    pq.write_table(
-        table, tmp, compression="zstd", write_statistics=True,
+    fsio.write_table_deterministic(
+        table, path, compression="zstd", write_statistics=True,
         data_page_size=1 << 20,
     )
-    os.replace(tmp, path)
 
 
 def _flush_segment(
@@ -184,7 +187,7 @@ def _flush_segment(
             h.update(packed_d)
             h.update(packed_t)
 
-    seg_dir = lambda sub: os.path.join(index_dir, sub, f"segment_id={seg}", "data.parquet")  # noqa: E731
+    seg_dir = lambda sub: "/".join([index_dir.rstrip("/"), sub, f"segment_id={seg}", "data.parquet"])  # noqa: E731
     postings_tbl = pa.table(
         {
             "term": pa.array(p_term, pa.string()),
@@ -318,8 +321,8 @@ def dedup_latest(df: DataFrame, cfg: IndexConfig) -> DataFrame:
 
 
 def committed_pids(spark: SparkSession, index_dir: str) -> set[int]:
-    mpath = os.path.join(index_dir, "manifest")
-    if not os.path.isdir(mpath):
+    mpath = _join(index_dir, "manifest")
+    if not fsio.exists(mpath):
         return set()
     man = spark.read.parquet(mpath)
     return {
@@ -348,7 +351,7 @@ def build_index(
     names and contents are deterministic).
     """
     cfg = cfg or IndexConfig()
-    os.makedirs(index_dir, exist_ok=True)
+    fsio.makedirs(index_dir)
 
     df = dedup_latest(df, cfg)
     df = df.withColumn(
@@ -380,9 +383,9 @@ def build_index(
     # already committed are dropped instead of appended — appending them
     # would double-count n_docs/total_tokens in the stats path below and
     # shift every BM25 score.
-    mpath = os.path.join(index_dir, "manifest")
+    mpath = _join(index_dir, "manifest")
     new_rows = manifest_rows
-    if new_rows and os.path.isdir(mpath):
+    if new_rows and fsio.exists(mpath):
         already = {
             r["segment_id"]
             for r in spark.read.parquet(mpath)
@@ -433,7 +436,7 @@ def _write_global_stats(
     n_docs: int,
     total_tokens: int,
 ) -> None:
-    segterms = spark.read.parquet(os.path.join(index_dir, "segterms"))
+    segterms = spark.read.parquet(_join(index_dir, "segterms"))
     stats = (
         segterms.groupBy("term")
         .agg(
@@ -443,14 +446,23 @@ def _write_global_stats(
         )
         .sortWithinPartitions("term")  # row-group pruning on term lookups
     )
-    tmp = os.path.join(index_dir, "termstats.tmp")
-    out = os.path.join(index_dir, "termstats")
-    stats.write.mode("overwrite").parquet(tmp)
-    import shutil
+    out = _join(index_dir, "termstats")
+    if fsio.is_local(index_dir):
+        # local: stage + atomic dir swap so concurrent readers never see a
+        # half-written stats table (os-level ops need scheme-free paths)
+        _, local_root = fsio.resolve(index_dir)
+        tmp = _join(index_dir, "termstats.tmp")
+        stats.write.mode("overwrite").parquet(tmp)
+        import shutil
 
-    if os.path.isdir(out):
-        shutil.rmtree(out)
-    os.replace(tmp, out)
+        local_out = os.path.join(local_root, "termstats")
+        if os.path.isdir(local_out):
+            shutil.rmtree(local_out)
+        os.replace(os.path.join(local_root, "termstats.tmp"), local_out)
+    else:
+        # object stores have no rename; Spark's overwrite of an immutable
+        # stats prefix is the standard pattern there
+        stats.write.mode("overwrite").parquet(out)
 
     meta = {
         "n_docs": int(n_docs),
@@ -458,5 +470,7 @@ def _write_global_stats(
         "avgdl": (total_tokens / n_docs) if n_docs else 1.0,
         "config": asdict(cfg),
     }
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=1, default=str)
+    fsio.write_bytes(
+        _join(index_dir, "meta.json"),
+        json.dumps(meta, indent=1, default=str).encode(),
+    )

@@ -3,19 +3,25 @@
 from __future__ import annotations
 
 import json
-import os
+import os  # noqa: F401  (kept for callers)
 
 from pyspark.sql import DataFrame, SparkSession
 
 from elasticsearch_spark.config import AnalyzerConfig, BM25Params, IndexConfig
+from elasticsearch_spark.index import fsio
+
+
+def fsio_join(base: str, *parts: str) -> str:
+    return "/".join([base.rstrip("/"), *parts])
 
 
 class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str) -> None:
         self.spark = spark
         self.index_dir = index_dir
-        with open(os.path.join(index_dir, "meta.json")) as f:
-            self.meta = json.load(f)
+        self.meta = json.loads(
+            fsio.read_bytes(fsio_join(index_dir, "meta.json"))
+        )
         c = self.meta["config"]
         a = dict(c["analyzer"])  # JSON round-trip: lists back to tuples
         a["stopwords"] = tuple(a.get("stopwords", ()))
@@ -43,7 +49,7 @@ class IndexReader:
             self._views: dict[str, DataFrame] = {}
         if sub not in self._views:
             self._views[sub] = self.spark.read.parquet(
-                os.path.join(self.index_dir, sub)
+                fsio_join(self.index_dir, sub)
             )
         return self._views[sub]
 
@@ -86,7 +92,7 @@ class IndexReader:
         try:
             import pyarrow.dataset as ds
 
-            dset = ds.dataset(os.path.join(self.index_dir, "termstats"))
+            dset = fsio.dataset(fsio_join(self.index_dir, "termstats"))
             tbl = dset.to_table(
                 columns=["term", "df", "ttf"],
                 filter=ds.field("term").isin(uniq),
@@ -124,7 +130,7 @@ class IndexReader:
         try:
             import pyarrow.dataset as ds
 
-            dset = ds.dataset(os.path.join(self.index_dir, "termstats"))
+            dset = fsio.dataset(fsio_join(self.index_dir, "termstats"))
             tbl = dset.to_table(
                 columns=["term", "df", "ttf"],
                 filter=(ds.field("term") >= prefix) & (ds.field("term") < upper),

@@ -30,9 +30,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from elasticsearch_spark.analysis.analyzers import tokenize_text
+from elasticsearch_spark.index import fsio
 from elasticsearch_spark.index.codec import delta_decode, unpack_u32
 from elasticsearch_spark.functions.smallfloat import effective_doc_length
 from elasticsearch_spark.index.reader import IndexReader
+
+
+def _ijoin(base: str, *parts: str) -> str:
+    return "/".join([base.rstrip("/"), *parts])
 
 
 def lucene_idf(n_docs: int, df: int) -> float:
@@ -990,7 +995,7 @@ def _execute(
     if mode == "local" or (
         mode == "auto"
         and est_postings <= local_postings_limit
-        and not reader.index_dir.startswith(("s3://", "hdfs://", "gs://", "abfs"))
+        and fsio.driver_readable(reader.index_dir)
     ):
         allowed_map = None
         if filter_cond is not None:
@@ -1065,13 +1070,11 @@ def _local_search(reader, score_fn, present, key_cols, extra_cols, k,
     volume is small. Returns None if the index layout is not driver-readable
     (caller falls back to the Spark path).
     """
-    import os
-
     import pyarrow.dataset as ds
 
     try:
-        post_ds = ds.dataset(
-            os.path.join(reader.index_dir, "postings"), partitioning="hive"
+        post_ds = fsio.dataset(
+            _ijoin(reader.index_dir, "postings"), partitioning="hive"
         )
         tbl = post_ds.to_table(
             filter=ds.field("term").isin(present),
@@ -1084,7 +1087,7 @@ def _local_search(reader, score_fn, present, key_cols, extra_cols, k,
     post = tbl.to_pandas()
     post["segment_id"] = post["segment_id"].astype(str)
 
-    norm_ds = ds.dataset(os.path.join(reader.index_dir, "norms"), partitioning="hive")
+    norm_ds = fsio.dataset(_ijoin(reader.index_dir, "norms"), partitioning="hive")
     segs = sorted(post["segment_id"].unique())
     norms = norm_ds.to_table(filter=ds.field("segment_id").isin(segs)).to_pandas()
     norms["segment_id"] = norms["segment_id"].astype(str)
@@ -1130,21 +1133,25 @@ def _result_schema(reader: IndexReader, key_cols, extra_cols):
 
 def _driver_fetch(reader, rows, key_cols, extra_cols):
     """Fetch winning docs driver-side from the per-segment parquet files."""
-    import os
-
     import pyarrow.parquet as pq
 
+    if not fsio.driver_readable(reader.index_dir):
+        return None
+    fs, root = fsio.resolve(reader.index_dir)
     by_seg: dict[str, list] = {}
     for r in rows:
         by_seg.setdefault(r["segment_id"], []).append(r)
     parts = []
     for seg, seg_rows in by_seg.items():
-        path = os.path.join(reader.index_dir, "docs", f"segment_id={seg}", "data.parquet")
-        if not os.path.exists(path):
+        path = "/".join([root.rstrip("/"), "docs", f"segment_id={seg}", "data.parquet"])
+        from pyarrow.fs import FileType
+
+        if fs.get_file_info(path).type == FileType.NotFound:
             return None
         ids = [r["local_doc_id"] for r in seg_rows]
         tbl = pq.read_table(
             path,
+            filesystem=fs,
             columns=["local_doc_id", *key_cols, *extra_cols],
             filters=[("local_doc_id", "in", ids)],
         ).to_pandas()
