@@ -238,6 +238,23 @@ def _suggest_query(spark, sf):
 register("suggest_term", _SUGGEST_SQL)(_suggest_query)
 
 
+def _suggest_phrase_query(spark, sf):
+    """LM-reranked whole-phrase correction; returned as a 1-row frame.
+    rows-only in the driver (the StupidBackoff rerank is pytest-verified
+    against hand-computed bigram counts in test_ops_extra.py)."""
+    from elasticsearch_spark.ops.suggest import phrase_suggest_scored
+
+    scored = phrase_suggest_scored(
+        _indexed_reader(spark, sf), "tabel hsah scan", max_candidates=2
+    )[:3]
+    return spark.createDataFrame(
+        [(s, round(lp, 4)) for s, lp in scored], "correction string, log_score double"
+    )
+
+
+register("suggest_phrase")(_suggest_phrase_query)
+
+
 def _highlight_query(spark, sf):
     from elasticsearch_spark.ops.highlight import highlight, n_matches_column
 

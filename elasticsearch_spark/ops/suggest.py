@@ -3,19 +3,24 @@
 Reference: search/suggest/term/TermSuggester.java:41-54 — per input token,
 DirectSpellChecker proposes dictionary terms within max_edits, ranked by
 (score desc, doc_freq desc); search/suggest/phrase/PhraseSuggester.java —
-candidate generation per token + language-model rerank.
+candidate generation per token + language-model rerank (StupidBackoff is
+the ES default word-scorer, search/suggest/phrase/StupidBackoffScorer.java).
 
 Spark shape: the term dictionary IS a table (termstats), so suggestion is a
 filtered scan: levenshtein() against the input, rank by (distance asc,
-df desc, term asc). Candidate generation prunes the dictionary scan with
-cheap SQL predicates (first-letter match or length window) before the
-O(len²) edit-distance — on a cluster this is a narrow columnar scan of the
-term-dict table, no shuffle.
+df desc, term asc). All input tokens are corrected in ONE job (broadcast
+token table joined against one dictionary scan), not a job per token.
+Candidate generation prunes the scan with cheap SQL predicates
+(first-letter match + length window) before the O(len²) edit distance.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+from itertools import product
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from elasticsearch_spark.analysis.analyzers import tokenize_text
@@ -64,35 +69,177 @@ def term_suggest(
     max_edits: int = 2,
     size: int = 5,
     min_df: int = 1,
+    prefix_len: int = 1,
 ) -> dict[str, list[tuple[str, int, int]]]:
     """Per-token suggestions for a whole input string (the _suggest API
     shape): token -> [(suggestion, distance, df)]; exact dictionary hits
-    return an empty suggestion list (nothing to correct)."""
+    return an empty suggestion list (nothing to correct).
+
+    ALL unknown tokens are corrected by one Spark job: the (tiny) token
+    table is broadcast against a single dictionary scan, per-token top-size
+    taken with a window over the already-pruned candidate set — never a
+    scan per token."""
     out: dict[str, list] = {}
     tokens = list(dict.fromkeys(tokenize_text(text, reader.cfg.analyzer)))
     stats = reader.query_term_stats(tokens)
-    dict_df = reader.termstats()
+    unknown = []
     for tok in tokens:
         if stats.get(tok, (0, 0))[0] > 0:
             out[tok] = []
-            continue
-        rows = term_suggest_df(dict_df, tok, max_edits, size, min_df).collect()
-        out[tok] = [(r["suggestion"], r["distance"], r["df"]) for r in rows]
+        else:
+            out[tok] = []
+            unknown.append(tok)
+    if not unknown:
+        return out
+
+    tok_df = reader.spark.createDataFrame([(t,) for t in unknown], "input string")
+    cand = (
+        reader.termstats()
+        .crossJoin(F.broadcast(tok_df))
+        .where(
+            (F.length("term") >= F.length("input") - max_edits)
+            & (F.length("term") <= F.length("input") + max_edits)
+            & (F.col("df") >= min_df)
+            & (F.col("term") != F.col("input"))
+        )
+    )
+    if prefix_len > 0:
+        cand = cand.where(
+            F.substring("term", 1, prefix_len)
+            == F.substring("input", 1, prefix_len)
+        )
+    cand = cand.withColumn(
+        "distance", F.levenshtein(F.col("term"), F.col("input"))
+    ).where(F.col("distance") <= max_edits)
+    # per-token top-size: window over the pruned candidates only (a few
+    # hundred rows per token), not the raw dictionary
+    w = Window.partitionBy("input").orderBy(
+        F.col("distance").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    rows = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= size)
+        .select("input", "term", "distance", "df")
+        .collect()
+    )
+    for r in sorted(rows, key=lambda r: (r["distance"], -r["df"], r["term"])):
+        out[r["input"]].append((r["term"], r["distance"], r["df"]))
     return out
+
+
+def bigram_counts(
+    reader: IndexReader, pairs: list[tuple[str, str]]
+) -> dict[tuple[str, str], int]:
+    """Corpus occurrence counts of adjacent word pairs, from the positional
+    postings of only the involved terms (the shingle-field LM analog the
+    reference builds at index time — here derived on demand from positions).
+
+    Scale note: the scan is term-pruned to the candidate vocabulary (a
+    handful of terms per suggestion request); per segment the count is the
+    same sorted-key intersection the phrase kernel uses."""
+    from elasticsearch_spark.query.executor import _decode_term_pos
+
+    terms = sorted({t for p in pairs for t in p})
+    if not terms or not pairs:
+        return {}
+    SHIFT = 22
+    rows = (
+        reader.postings()
+        .where(F.col("term").isin(terms))
+        .select(
+            "segment_id", "term", "block_id", "n_docs", "first_doc",
+            "docs_packed", "tfs_packed", "pos_packed",
+        )
+        .collect()
+    )
+    import pandas as pd
+
+    pdf = pd.DataFrame([r.asDict() for r in rows])
+    counts: dict[tuple[str, str], int] = {p: 0 for p in pairs}
+    if pdf.empty:
+        return counts
+    for _, seg in pdf.groupby("segment_id", sort=False):
+        seg = seg.sort_values(["term", "first_doc"])
+        keys: dict[str, np.ndarray] = {}
+        for t, g in seg.groupby("term", sort=False):
+            docs, tfs, pos = _decode_term_pos(g)
+            doc_of_pos = np.repeat(docs, tfs.astype(np.int64))
+            keys[t] = (doc_of_pos << SHIFT) + pos.astype(np.int64)
+        for a, b in pairs:
+            ka, kb = keys.get(a), keys.get(b)
+            if ka is None or kb is None:
+                continue
+            counts[(a, b)] += int(
+                np.intersect1d(ka + 1, kb, assume_unique=True).size
+            )
+    return counts
+
+
+def phrase_suggest_scored(
+    reader: IndexReader,
+    text: str,
+    max_edits: int = 2,
+    max_candidates: int = 3,
+    backoff: float = 0.4,
+    max_combinations: int = 64,
+) -> list[tuple[str, float]]:
+    """Whole-phrase corrections ranked by a StupidBackoff bigram LM.
+
+    P(w_i | w_{i-1}) = count(w_{i-1} w_i) / ttf(w_{i-1}) when the bigram
+    occurs, else ``backoff`` · (ttf(w_i)+0.5)/total (+0.5 smoothing keeps
+    unseen unigrams finite); candidate sequences are the cross product of
+    per-token candidate sets (known token → itself; unknown → its term
+    suggestions, or itself if none), capped at ``max_combinations``.
+    Returns [(correction, log-score)] best-first, deterministic ties.
+    """
+    tokens = tokenize_text(text, reader.cfg.analyzer)
+    if not tokens:
+        return []
+    sugg = term_suggest(reader, text, max_edits=max_edits, size=max_candidates)
+    cand_sets: list[list[str]] = []
+    for tok in tokens:
+        s = sugg.get(tok, [])
+        cand_sets.append([x[0] for x in s] or [tok])
+
+    combos = []
+    for combo in product(*cand_sets):
+        combos.append(combo)
+        if len(combos) >= max_combinations:
+            break
+
+    vocab = sorted({w for c in combos for w in c})
+    stats = reader.query_term_stats(vocab)
+    total = max(int(reader.meta.get("total_tokens", 1)), 1)
+    needed = sorted({(c[i], c[i + 1]) for c in combos for i in range(len(c) - 1)})
+    big = bigram_counts(reader, needed) if needed else {}
+
+    def ttf(w: str) -> float:
+        return float(stats.get(w, (0, 0))[1])
+
+    def logp(seq: tuple[str, ...]) -> float:
+        lp = math.log((ttf(seq[0]) + 0.5) / total)
+        for i in range(1, len(seq)):
+            b = big.get((seq[i - 1], seq[i]), 0)
+            prev = ttf(seq[i - 1])
+            if b > 0 and prev > 0:
+                lp += math.log(b / prev)
+            else:
+                lp += math.log(backoff * (ttf(seq[i]) + 0.5) / total)
+        return lp
+
+    scored = [(" ".join(c), logp(c)) for c in combos]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored
 
 
 def phrase_suggest(
     reader: IndexReader,
     text: str,
     max_edits: int = 2,
+    max_candidates: int = 3,
 ) -> str:
-    """Whole-phrase correction: replace each unknown token with its best
-    term suggestion (PhraseSuggester's shape without the LM rerank — the
-    n-gram LM is a v2 item; candidate selection order matches term_suggest)."""
-    tokens = tokenize_text(text, reader.cfg.analyzer)
-    per_tok = term_suggest(reader, text, max_edits=max_edits, size=1)
-    corrected = []
-    for tok in tokens:
-        sugg = per_tok.get(tok, [])
-        corrected.append(sugg[0][0] if sugg else tok)
-    return " ".join(corrected)
+    """Best whole-phrase correction (LM-reranked; PhraseSuggester shape)."""
+    scored = phrase_suggest_scored(
+        reader, text, max_edits=max_edits, max_candidates=max_candidates
+    )
+    return scored[0][0] if scored else text

@@ -139,3 +139,51 @@ def test_percentile_ranks_exact(spark):
     assert row["rank_25_0"] == 25.0
     assert row["rank_50_5"] == 50.0
     assert row["rank_100_0"] == 100.0
+
+
+def test_phrase_suggest_lm_rerank(spark, tmp_root):
+    """The bigram LM must override raw doc-frequency: 'ten' is the more
+    frequent unigram, but 'green tea' is the corpus bigram, so the
+    correction of 'green tec' is 'green tea' (StupidBackoffScorer shape)."""
+    import pandas as pd
+
+    from elasticsearch_spark.config import IndexConfig
+    from elasticsearch_spark.index import IndexReader, build_index
+    from elasticsearch_spark.ops.suggest import (
+        bigram_counts,
+        phrase_suggest,
+        phrase_suggest_scored,
+    )
+
+    texts = (
+        ["green tea leaves brewed"] * 3
+        + ["ten reasons", "ten more", "ten again", "ten fine", "count ten"]
+    )
+    corpus = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(texts))],
+            "turn_idx": [0] * len(texts),
+            "text": texts,
+        }
+    )
+    idx = f"{tmp_root}/idx_lm_suggest"
+    build_index(spark, spark.createDataFrame(corpus), idx, IndexConfig(n_partitions=2))
+    reader = IndexReader(spark, idx)
+
+    # df(ten)=5 > df(tea)=3, both 1 edit from 'tec' with prefix 't'
+    assert bigram_counts(reader, [("green", "tea"), ("green", "ten")]) == {
+        ("green", "tea"): 3,
+        ("green", "ten"): 0,
+    }
+    assert phrase_suggest(reader, "green tec") == "green tea"
+    scored = phrase_suggest_scored(reader, "green tec")
+    assert scored[0][0] == "green tea"
+    assert {s for s, _ in scored} >= {"green tea", "green ten"}
+    assert scored[0][1] > dict(scored)["green ten"]
+
+
+def test_term_suggest_multi_token_single_pass(reader):
+    """Several unknown tokens corrected in one call (one dictionary scan)."""
+    out = term_suggest(reader, "erorr timeuot")
+    assert out["erorr"] and out["erorr"][0][0] == "error"
+    assert out["timeuot"] and out["timeuot"][0][0] == "timeout"
