@@ -119,6 +119,17 @@ def main() -> None:
     q_p50 = float(np.percentile(q_secs, 50))
     q_p95 = float(np.percentile(q_secs, 95))
 
+    # ---- 2b. positional operators over the same index ----
+    from elasticsearch_spark.query import phrase_prefix_topk, phrase_topk
+    from elasticsearch_spark.query.spans import span_near_topk
+
+    t0 = time.perf_counter()
+    phrase_topk(reader, "error timeout", k=10, slop=2).collect()
+    phrase_topk(reader, "alpha beta gamma", k=10).collect()
+    phrase_prefix_topk(reader, "alpha bet", k=10).collect()
+    span_near_topk(reader, ["error", "retry"], slop=4, k=10).collect()
+    timings["positional_query_set"] = round(time.perf_counter() - t0, 3)
+
     # ---- 3. non-fulltext headline operators on the sf tables ----
     def bench(name, fn, n=1):
         best = None
@@ -159,6 +170,18 @@ def main() -> None:
     bench(
         "ann_cosine_topk",
         lambda: similarity.cosine_topk(emb, "embedding", "vec_id", qvec, k=10).collect(),
+    )
+    ivf_dir = os.path.join(WORK_DIR, "ivf")
+    bench(
+        "ann_ivf_write",
+        lambda: similarity.write_ivf(emb, "embedding", ivf_dir, bits=6),
+    )
+    bench(
+        "ann_ivf_indexed_topk",
+        lambda: similarity.ivf_topk_indexed(
+            spark, ivf_dir, "embedding", "vec_id", qvec, k=10, bits=6,
+            probe_hamming=2,
+        ).collect(),
     )
 
     total = time.perf_counter() - t_suite0

@@ -22,6 +22,7 @@ from elasticsearch_spark.oracle.sqlgen import (
     bm25_phrase_sql,
     common_terms_sql,
     bm25_topk_sql,
+    flt_sql,
     fuzzy_sql,
     mlt_sql,
     multi_match_sql,
@@ -238,6 +239,30 @@ def _suggest_query(spark, sf):
 register("suggest_term", _SUGGEST_SQL)(_suggest_query)
 
 
+_COMPLETION_SQL = """
+WITH dict AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
+    FROM documents
+  ) GROUP BY term
+)
+SELECT term AS completion, df FROM dict
+WHERE term LIKE 's%'
+ORDER BY df DESC, completion ASC
+LIMIT 5
+""".strip()
+
+
+def _completion_query(spark, sf):
+    from elasticsearch_spark.ops.suggest import completion_suggest
+
+    reader = _indexed_reader(spark, sf)
+    return completion_suggest(reader.termstats(), "s", size=5)
+
+
+register("suggest_completion", _COMPLETION_SQL)(_completion_query)
+
+
 def _suggest_phrase_query(spark, sf):
     """LM-reranked whole-phrase correction; returned as a 1-row frame.
     rows-only in the driver (the StupidBackoff rerank is pytest-verified
@@ -306,6 +331,26 @@ def _mlt_query(spark, sf):
 
 
 register("more_like_this", mlt_sql(3, max_query_terms=10, k=10))(_mlt_query)
+
+
+def _flt_query(spark, sf):
+    from elasticsearch_spark.ops.mlt import fuzzy_like_this
+
+    out = fuzzy_like_this(
+        _indexed_reader(spark, sf), "tabel scann", fuzziness=1,
+        max_query_terms=8, k=10,
+    )
+    return (
+        out.withColumn("score", F.round("score", 4))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+register(
+    "fuzzy_like_this",
+    flt_sql(["tabel", "scann"], fuzziness=1, max_query_terms=8, k=10),
+)(_flt_query)
 
 
 # --------------------------------------------------------------------------
@@ -713,6 +758,16 @@ register(
     lambda spark, sf: _t(spark, sf, "documents")
     .where(filters.ids("doc_id", [1, 5, 7, 100, 400]))
     .select("doc_id", "lang")
+)
+
+register(
+    "filter_ttl_live",
+    "SELECT event_id FROM events "
+    "WHERE ts + INTERVAL 10 DAY > TIMESTAMP '2024-01-25 00:00:00'",
+)(
+    lambda spark, sf: _t(spark, sf, "events")
+    .where(filters.ttl_live("ts", "2024-01-25 00:00:00", 10 * 86400))
+    .select("event_id")
 )
 
 register(
@@ -1241,6 +1296,12 @@ WHERE len(list_intersect(a.s, b.s)) /
     .select("key_a", "key_b", F.round("jaccard", 6).alias("jaccard"))
 )
 
+register("dedup_embedding_cosine")(  # hyperplane buckets → rows-only check
+    lambda spark, sf: dedup.embedding_cosine_dups(
+        _t(spark, sf, "embeddings"), "embedding", "vec_id", threshold=0.95
+    )
+)
+
 register(
     "ann_cosine_topk",
     "SELECT vec_id, round(list_cosine_similarity(embedding, "
@@ -1345,15 +1406,32 @@ register("text_language_id")(  # heuristic — verified vs lang column in tests
     )
 )
 
-register("multimodal_features")(  # stubbed decode; schema/plumbing check
+def _media(spark, sf):
+    from elasticsearch_spark.pipeline import multimodal as mm
+
+    return mm.synthesize_media(
+        _t(spark, sf, "documents").limit(120), "doc_id", "text"
+    )
+
+
+register("multimodal_features")(  # ppm/wav decode real; codec formats stubbed
     lambda spark, sf: __import__(
         "elasticsearch_spark.pipeline.multimodal", fromlist=["x"]
-    ).extract_features(
-        __import__(
-            "elasticsearch_spark.pipeline.multimodal", fromlist=["x"]
-        ).synthesize_media(_t(spark, sf, "documents"), "doc_id", "text"),
-        dim=16,
-    ).select("key", "media_type", "n_bytes")
+    ).extract_features(_media(spark, sf), dim=16)
+    .select("key", "media_type", "n_bytes")
+)
+
+register("multimodal_image_decode")(  # numpy PPM decode + thumbnail — rows-only
+    lambda spark, sf: __import__(
+        "elasticsearch_spark.pipeline.multimodal", fromlist=["x"]
+    ).decode_images(_media(spark, sf), thumb=4)
+    .select("key", "width", "height", "mean_r")
+)
+
+register("multimodal_audio_decode")(  # stdlib WAV decode + sample stats
+    lambda spark, sf: __import__(
+        "elasticsearch_spark.pipeline.multimodal", fromlist=["x"]
+    ).decode_audio(_media(spark, sf))
 )
 
 

@@ -141,3 +141,18 @@ def fuzzy_terms(term_dict: DataFrame, term_col: str, query: str, fuzziness: int 
     (the MultiTermQuery rewrite step, QueryParsers.java): returns matching
     terms; caller unions their postings / uses isin."""
     return term_dict.where(F.levenshtein(F.col(term_col), F.lit(query)) <= fuzziness)
+
+
+def ttl_live(ts_col: str, now, ttl_seconds: int) -> Column:
+    """TTL liveness predicate (_ttl field semantics — indices/ttl/
+    IndicesTTLService.java purges docs whose _ttl elapsed): a doc is live
+    while ts + ttl > now. Partition/row-group pruning applies when the
+    table is laid out by time, so expiry scans read only the boundary
+    window; actual deletion is the table-layout operation (rewrite or
+    Iceberg delete) over ~ttl_expired rows."""
+    return F.col(ts_col) + F.expr(f"INTERVAL {int(ttl_seconds)} SECONDS") > F.lit(now)
+
+
+def ttl_expired(ts_col: str, now, ttl_seconds: int) -> Column:
+    """Complement of ttl_live — the purge set."""
+    return ~ttl_live(ts_col, now, ttl_seconds)

@@ -58,6 +58,66 @@ def more_like_this(
     )
 
 
+def fuzzy_like_this(
+    reader: IndexReader,
+    like_text: str,
+    k: int = 10,
+    fuzziness: int = 1,
+    prefix_length: int = 0,
+    max_query_terms: int = 25,
+):
+    """fuzzy_like_this (FuzzyLikeThisQueryParser, MoreLikeThisQueryParser.java
+    sibling — reg. IndicesQueriesModule): analyze the sample text, expand
+    EVERY term through the dictionary within ``fuzziness`` edits (optional
+    required prefix), keep the ``max_query_terms`` highest-idf expansions
+    (ties term ASC), then run them as one disjunctive BM25 query.
+
+    The expansion is one Spark job: the (tiny) sample-term table broadcast
+    against a single termstats scan with length-window + prefix pushdown
+    before the levenshtein — never a scan per term.
+    """
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.query.executor import lucene_idf, search_topk
+
+    tokens = list(dict.fromkeys(tokenize_text(like_text, reader.cfg.analyzer)))
+    if not tokens:
+        from elasticsearch_spark.query.executor import _empty_result
+
+        return _empty_result(reader, ())
+    tok_df = reader.spark.createDataFrame([(t,) for t in tokens], "input string")
+    cand = (
+        reader.termstats()
+        .crossJoin(F.broadcast(tok_df))
+        .where(
+            (F.length("term") >= F.length("input") - fuzziness)
+            & (F.length("term") <= F.length("input") + fuzziness)
+        )
+    )
+    if prefix_length > 0:
+        cand = cand.where(
+            F.substring("term", 1, prefix_length)
+            == F.substring("input", 1, prefix_length)
+        )
+    rows = (
+        cand.where(F.levenshtein(F.col("term"), F.col("input")) <= fuzziness)
+        .select("term", "df")
+        .distinct()
+        .collect()
+    )
+    n = reader.n_docs
+    scored = sorted(
+        ((lucene_idf(n, r["df"]), r["term"]) for r in rows),
+        key=lambda x: (-x[0], x[1]),
+    )
+    selected = [t for _, t in scored[:max_query_terms]]
+    if not selected:
+        from elasticsearch_spark.query.executor import _empty_result
+
+        return _empty_result(reader, ())
+    return search_topk(reader, " ".join(selected), k=k)
+
+
 def common_terms_split(
     reader: IndexReader, query_text: str, cutoff_frequency: float = 0.01
 ) -> tuple[list[str], list[str]]:

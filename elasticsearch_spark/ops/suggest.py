@@ -243,3 +243,23 @@ def phrase_suggest(
         reader, text, max_edits=max_edits, max_candidates=max_candidates
     )
     return scored[0][0] if scored else text
+
+
+def completion_suggest(
+    term_dict: DataFrame,
+    prefix: str,
+    size: int = 5,
+) -> DataFrame:
+    """Completion suggester approximation (search/suggest/completion/ —
+    the reference walks a weight-ordered FST; the analog here is a
+    prefix-pruned scan of the term dictionary ranked by doc frequency).
+    Returns (completion, df) ordered (df DESC, completion ASC), ≤ size.
+    Scale: prefix pushdown on the term-sorted dictionary → row-group
+    pruned scan, no shuffle before the tiny top-k."""
+    p = prefix.lower()
+    return (
+        term_dict.where(F.col("term").startswith(p))
+        .select(F.col("term").alias("completion"), "df")
+        .orderBy(F.col("df").desc(), F.col("completion").asc())
+        .limit(size)
+    )

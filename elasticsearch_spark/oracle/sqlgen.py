@@ -639,3 +639,78 @@ WHERE (NOT EXISTS (SELECT 1 FROM lowt))
 ORDER BY round(p.raw, {score_decimals}) DESC, p.{key} ASC
 LIMIT {k}
 """.strip()
+
+
+def flt_sql(
+    like_terms: Sequence[str],
+    table: str = "documents",
+    key: str = "doc_id",
+    text_col: str = "text",
+    fuzziness: int = 1,
+    max_query_terms: int = 25,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    quantize: bool = True,
+    score_decimals: int = 4,
+) -> str:
+    """DuckDB SQL mirroring ops.mlt.fuzzy_like_this: per-sample-term fuzzy
+    dictionary expansion, top max_query_terms by idf (ties term ASC), then
+    disjunctive BM25 over the selection."""
+    inputs = ",".join("('" + t.replace("'", "''") + "')" for t in like_terms)
+    if quantize:
+        ranges = _ranges_cte() + ","
+        dle = (
+            f"dle AS (SELECT dl.{key}, COALESCE(r.dl_eff, 0.0) AS dl_eff "
+            f"FROM dl LEFT JOIN ranges r ON dl.doc_len BETWEEN r.lo AND r.hi),"
+        )
+    else:
+        ranges = ""
+        dle = f"dle AS (SELECT {key}, CAST(doc_len AS DOUBLE) AS dl_eff FROM dl),"
+    return f"""
+WITH toks AS (
+  SELECT {key}, regexp_extract_all(lower({text_col}), '{SIMPLE_TOKEN_SQL}') AS t
+  FROM {table}
+),
+dl AS (SELECT {key}, len(t) AS doc_len FROM toks),
+{ranges}
+{dle}
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+docterms AS (SELECT {key}, unnest(t) AS term FROM toks),
+dfreq AS (SELECT term, count(DISTINCT {key}) AS df FROM docterms GROUP BY term),
+inputs(input) AS (VALUES {inputs}),
+exp AS (
+  SELECT DISTINCT d.term, d.df
+  FROM dfreq d JOIN inputs i
+    ON len(d.term) BETWEEN len(i.input) - {fuzziness} AND len(i.input) + {fuzziness}
+   AND levenshtein(d.term, i.input) <= {fuzziness}
+),
+sel AS (
+  SELECT term FROM exp CROSS JOIN stats s
+  ORDER BY ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) DESC, term ASC
+  LIMIT {max_query_terms}
+),
+hits AS (
+  SELECT {key}, term, count(*) AS tf
+  FROM docterms WHERE term IN (SELECT term FROM sel)
+  GROUP BY {key}, term
+),
+perdoc AS (
+  SELECT h.{key}, sum(
+    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (h.tf * {k1 + 1.0})
+      / (h.tf + {k1} * (1.0 - {b} + {b} * e.dl_eff / s.avgdl))) AS raw
+  FROM hits h
+  JOIN dfreq d USING (term)
+  JOIN dle e USING ({key})
+  CROSS JOIN stats s
+  GROUP BY h.{key}
+)
+SELECT {key}, round(raw, {score_decimals}) AS score
+FROM perdoc
+ORDER BY round(raw, {score_decimals}) DESC, {key} ASC
+LIMIT {k}
+""".strip()

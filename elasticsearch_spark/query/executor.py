@@ -17,7 +17,9 @@ Scale notes: postings are pruned by ``term IN (...)`` predicate pushdown
 (row-group stats; postings files are term-sorted), per-segment norm arrays
 travel as one packed row each, and only ≤ k rows per segment reach the
 gather. Filters are evaluated by Catalyst on the doc table (columnar,
-predicate pushdown) and enter the scorer as packed allowed-doc-id sets.
+predicate pushdown) and enter the scorer as per-segment id sets of the
+SMALLER filter polarity (allow- or deny-list, see _filter_sets) — never
+more than half a segment's ids ship.
 """
 
 from __future__ import annotations
@@ -38,6 +40,12 @@ from elasticsearch_spark.index.reader import IndexReader
 
 def _ijoin(base: str, *parts: str) -> str:
     return "/".join([base.rstrip("/"), *parts])
+
+
+# fetch-phase routing bounds (see _execute): above either, the distributed
+# broadcast-join fetch replaces the driver-side serial segment reads
+_DRIVER_FETCH_MAX_ROWS = 5000
+_DRIVER_FETCH_MAX_SEGS = 64
 
 
 def lucene_idf(n_docs: int, df: int) -> float:
@@ -1050,6 +1058,13 @@ def _execute(
         theta = float(np.partition(-scores, k - 1)[k - 1] * -1.0)
         rows = [r for r in rows if r["score"] >= theta]
 
+    # fetch-phase routing: the driver-side pruned read wins for a handful
+    # of winners/segments; past these bounds (large k·ties, or a pre-merge
+    # index with thousands of segments) the serial per-segment open loop
+    # would dominate — switch to the distributed broadcast-join fetch
+    n_segs = len({r["segment_id"] for r in rows})
+    if len(rows) > _DRIVER_FETCH_MAX_ROWS or n_segs > _DRIVER_FETCH_MAX_SEGS:
+        return _spark_fetch(reader, rows, key_cols, extra_cols, k)
     fetched = _driver_fetch(reader, rows, key_cols, extra_cols)
     if fetched is None:  # non-local index store → distributed fetch join
         return _spark_fetch(reader, rows, key_cols, extra_cols, k)

@@ -187,26 +187,25 @@ def multi_match_online(
         return df.select(*keys).withColumn("score", F.lit(0.0)).where(F.lit(False))
     mult = {t: q_tokens.count(t) for t in uniq_terms}
 
-    combined = None
-    score_cols = []
-    for i, field in enumerate(fields):
-        s = _bm25_scores(
-            spark, df, uniq_terms, mult, 1, keys, field, analyzer, bm25
-        ).withColumnRenamed("score", f"__s{i}")
-        combined = s if combined is None else combined.join(s, keys, "full_outer")
-        score_cols.append(f"__s{i}")
-    filled = [F.coalesce(F.col(c), F.lit(0.0)) for c in score_cols]
+    # unpivot shape: per-field score rows union'd into one frame, then one
+    # groupBy — both combine modes need only (max, sum) of the field scores,
+    # so N fields cost one shuffle instead of N-1 full-outer joins (absent
+    # fields simply contribute no row ≡ the old coalesce-to-0)
+    per_field = [
+        _bm25_scores(spark, df, uniq_terms, mult, 1, keys, field, analyzer, bm25)
+        for field in fields
+    ]
+    un = per_field[0]
+    for s in per_field[1:]:
+        un = un.unionByName(s)
+    agg = un.groupBy(*keys).agg(
+        F.max("score").alias("__best"), F.sum("score").alias("__sum")
+    )
     if match_type == "most_fields":
-        total = filled[0]
-        for c in filled[1:]:
-            total = total + c
+        total = F.col("__sum")
     else:  # best_fields
-        best = F.greatest(*filled) if len(filled) > 1 else filled[0]
-        ssum = filled[0]
-        for c in filled[1:]:
-            ssum = ssum + c
-        total = best + tie_breaker * (ssum - best)
-    out = combined.withColumn("score", total).drop(*score_cols)
+        total = F.col("__best") + tie_breaker * (F.col("__sum") - F.col("__best"))
+    out = agg.withColumn("score", total).drop("__best", "__sum")
     if score_decimals is not None:
         out = out.withColumn("score", F.round("score", score_decimals))
     return out.orderBy(

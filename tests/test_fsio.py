@@ -100,3 +100,37 @@ def test_build_and_query_via_file_uri(spark, tmp_root):
     # resume on the URI path is a no-op (all pids committed)
     r2 = build_index(spark, spark.createDataFrame(corpus), uri, cfg, resume=True)
     assert r2.n_docs == 6
+
+
+def test_snapshot_restore_roundtrip(spark, tmp_root, mockfs):
+    """snapshot → restore must reproduce identical query results, and the
+    snapshot can live on a non-POSIX store (mock fs) in between — the
+    cross-store migration path."""
+    import pandas as pd
+
+    from elasticsearch_spark.config import IndexConfig
+    from elasticsearch_spark.index import IndexReader, build_index
+    from elasticsearch_spark.index.snapshot import restore, snapshot
+    from elasticsearch_spark.query import search_topk
+
+    corpus = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(8)],
+            "turn_idx": [0] * 8,
+            "text": [
+                "error timeout retry", "error handled", "timeout alone",
+                "retry error storm", "filler one", "filler two",
+                "error again here", "last timeout row",
+            ],
+        }
+    )
+    src = f"{tmp_root}/idx_snap_src"
+    build_index(spark, spark.createDataFrame(corpus), src, IndexConfig(n_partitions=2))
+    want = [tuple(r) for r in search_topk(IndexReader(spark, src), "error timeout", k=10).collect()]
+
+    meta = snapshot(spark, src, "mock://snaps/s1")
+    assert meta["segments"]
+    dst = f"{tmp_root}/idx_snap_restored"
+    restore("mock://snaps/s1", dst)
+    got = [tuple(r) for r in search_topk(IndexReader(spark, dst), "error timeout", k=10).collect()]
+    assert got == want

@@ -187,3 +187,36 @@ def test_term_suggest_multi_token_single_pass(reader):
     out = term_suggest(reader, "erorr timeuot")
     assert out["erorr"] and out["erorr"][0][0] == "error"
     assert out["timeuot"] and out["timeuot"][0][0] == "timeout"
+
+
+def test_completion_suggest_prefix_ranked(reader):
+    from elasticsearch_spark.ops.suggest import completion_suggest
+
+    out = completion_suggest(reader.termstats(), "t", size=5).collect()
+    assert out and all(r["completion"].startswith("t") for r in out)
+    dfs = [r["df"] for r in out]
+    assert dfs == sorted(dfs, reverse=True)
+
+
+def test_ttl_predicates(spark):
+    import pandas as pd
+
+    from elasticsearch_spark.ops import filters
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3],
+                "ts": pd.to_datetime(
+                    ["2024-01-01", "2024-01-20", "2024-01-28"]
+                ),
+            }
+        )
+    )
+    live = {r["id"] for r in df.where(
+        filters.ttl_live("ts", "2024-01-25 00:00:00", 10 * 86400)
+    ).collect()}
+    dead = {r["id"] for r in df.where(
+        filters.ttl_expired("ts", "2024-01-25 00:00:00", 10 * 86400)
+    ).collect()}
+    assert live == {2, 3} and dead == {1}
