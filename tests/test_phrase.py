@@ -101,9 +101,14 @@ def test_phrase_survives_tiered_merge(setup, spark):
 def test_phrase_prefix_rank_identical(setup, mode):
     """match_phrase_prefix (MatchQuery.java:215-220) vs the PyRef oracle,
     including prefix-only queries and a binding expansion cap."""
+    from elasticsearch_spark.index import IndexReader
     from elasticsearch_spark.query import phrase_prefix_topk
 
-    reader, oracle, _ = setup
+    stale_reader, oracle, idx = setup
+    # fresh reader: the tiered-merge test above rewrites the segment set,
+    # so the module fixture's memoized file listing is stale (also a nice
+    # check that phrase_prefix works over merged segments)
+    reader = IndexReader(stale_reader.spark, idx)
     cases = [
         ("alpha bet", 50),    # classic autocomplete shape
         ("tok000", 50),       # prefix-only (no fixed terms)
