@@ -263,10 +263,76 @@ def _completion_query(spark, sf):
 register("suggest_completion", _COMPLETION_SQL)(_completion_query)
 
 
+_SUGGEST_PHRASE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+stats AS (SELECT CAST(sum(len(t)) AS DOUBLE) AS total FROM toks),
+docterms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf FROM docterms GROUP BY term),
+bigrams AS (
+  SELECT w1, w2, count(*) AS c FROM (
+    SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM toks WHERE len(t) >= 2
+  ) GROUP BY w1, w2
+),
+sugg_tabel AS (
+  SELECT term FROM dict
+  WHERE term LIKE 't%' AND len(term) BETWEEN 3 AND 7 AND term != 'tabel'
+    AND levenshtein(term, 'tabel') <= 2
+  ORDER BY levenshtein(term, 'tabel') ASC, df DESC, term ASC LIMIT 2
+),
+sugg_hsah AS (
+  SELECT term FROM dict
+  WHERE term LIKE 'h%' AND len(term) BETWEEN 2 AND 6 AND term != 'hsah'
+    AND levenshtein(term, 'hsah') <= 2
+  ORDER BY levenshtein(term, 'hsah') ASC, df DESC, term ASC LIMIT 2
+),
+cand1 AS (
+  SELECT CASE
+    WHEN EXISTS (SELECT 1 FROM dict WHERE term = 'tabel') THEN ['tabel']
+    WHEN (SELECT count(*) FROM sugg_tabel) = 0 THEN ['tabel']
+    ELSE (SELECT list(term) FROM sugg_tabel) END AS ws
+),
+cand2 AS (
+  SELECT CASE
+    WHEN EXISTS (SELECT 1 FROM dict WHERE term = 'hsah') THEN ['hsah']
+    WHEN (SELECT count(*) FROM sugg_hsah) = 0 THEN ['hsah']
+    ELSE (SELECT list(term) FROM sugg_hsah) END AS ws
+),
+combos AS (
+  SELECT a.w1, b.w2, 'scan' AS w3
+  FROM (SELECT unnest(ws) AS w1 FROM cand1) a
+  CROSS JOIN (SELECT unnest(ws) AS w2 FROM cand2) b
+),
+scored AS (
+  SELECT co.w1 || ' ' || co.w2 || ' ' || co.w3 AS correction,
+    ln((coalesce(d1.ttf, 0) + 0.5) / s.total)
+    + CASE WHEN coalesce(b12.c, 0) > 0 AND coalesce(d1.ttf, 0) > 0
+        THEN ln(b12.c / CAST(d1.ttf AS DOUBLE))
+        ELSE ln(0.4 * (coalesce(d2.ttf, 0) + 0.5) / s.total) END
+    + CASE WHEN coalesce(b23.c, 0) > 0 AND coalesce(d2.ttf, 0) > 0
+        THEN ln(b23.c / CAST(d2.ttf AS DOUBLE))
+        ELSE ln(0.4 * (coalesce(d3.ttf, 0) + 0.5) / s.total) END
+      AS lp
+  FROM combos co
+  CROSS JOIN stats s
+  LEFT JOIN dict d1 ON d1.term = co.w1
+  LEFT JOIN dict d2 ON d2.term = co.w2
+  LEFT JOIN dict d3 ON d3.term = co.w3
+  LEFT JOIN bigrams b12 ON b12.w1 = co.w1 AND b12.w2 = co.w2
+  LEFT JOIN bigrams b23 ON b23.w1 = co.w2 AND b23.w2 = co.w3
+)
+SELECT correction, round(lp, 4) AS log_score
+FROM scored
+ORDER BY lp DESC, correction ASC
+LIMIT 3
+""".strip()
+
+
 def _suggest_phrase_query(spark, sf):
-    """LM-reranked whole-phrase correction; returned as a 1-row frame.
-    rows-only in the driver (the StupidBackoff rerank is pytest-verified
-    against hand-computed bigram counts in test_ops_extra.py)."""
+    """LM-reranked whole-phrase corrections with StupidBackoff log scores;
+    the DuckDB oracle mirrors the full pipeline (fuzzy candidate sets,
+    zip-shifted corpus bigram counts, backoff scoring)."""
     from elasticsearch_spark.ops.suggest import phrase_suggest_scored
 
     scored = phrase_suggest_scored(
@@ -277,7 +343,7 @@ def _suggest_phrase_query(spark, sf):
     )
 
 
-register("suggest_phrase")(_suggest_phrase_query)
+register("suggest_phrase", _SUGGEST_PHRASE_SQL)(_suggest_phrase_query)
 
 
 def _highlight_query(spark, sf):
@@ -1400,7 +1466,33 @@ register(
     .agg(F.countDistinct("fingerprint").alias("n_unique"))
 )
 
-register("text_language_id")(  # heuristic — verified vs lang column in tests
+_LANG_ID_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang, lower(text) AS txt,
+         CAST(greatest(length(lower(text)), 1) AS DOUBLE) AS n
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, lang, list_max([
+    {'s': len(regexp_extract_all(txt, '\b(the|and|of|to|is|that)\b')) / n, 'l': 'en'},
+    {'s': len(regexp_extract_all(txt, '\b(el|la|de|que|los|una?)\b|[ñ¿¡]')) / n, 'l': 'es'},
+    {'s': len(regexp_extract_all(txt, '\b(le|la|les|des|une?|est|et)\b|[àâçéèêëîôûù]')) / n, 'l': 'fr'},
+    {'s': len(regexp_extract_all(txt, '\b(der|die|das|und|ist|nicht)\b|[äöüß]')) / n, 'l': 'de'},
+    {'s': len(regexp_extract_all(txt, '[一-鿿]')) / n, 'l': 'zh'},
+    {'s': len(regexp_extract_all(txt, '[぀-ゟ゠-ヿ]')) / n, 'l': 'ja'},
+    {'s': len(regexp_extract_all(txt, '[가-힯]')) / n, 'l': 'ko'},
+    {'s': len(regexp_extract_all(txt, '[Ѐ-ӿ]')) / n, 'l': 'ru'}
+  ]) AS best
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred
+FROM sc
+""".strip()
+
+# full SQL mirror of the argmax-over-profiles heuristic (struct comparison
+# replicates Spark's array_max tie-break on (score, lang))
+register("text_language_id", _LANG_ID_SQL)(
     lambda spark, sf: textstats.language_id(_t(spark, sf, "documents")).select(
         "doc_id", "lang", "lang_pred"
     )
