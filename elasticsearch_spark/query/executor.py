@@ -47,13 +47,21 @@ def _ijoin(base: str, *parts: str) -> str:
 _DRIVER_FETCH_MAX_ROWS = 5000
 _DRIVER_FETCH_MAX_SEGS = 64
 
+# below this corpus size the filter-context polarity optimization is pure
+# scheduling overhead (see _filter_sets)
+_FILTER_TWO_PASS_MIN_DOCS = 200_000
+
 
 def lucene_idf(n_docs: int, df: int) -> float:
     """ln(1 + (N - df + 0.5)/(df + 0.5)) — Lucene 5 BM25 idf."""
     return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
 
 
-def _filter_sets(reader: IndexReader, filter_cond: Column) -> DataFrame:
+def _filter_sets(
+    reader: IndexReader,
+    filter_cond: Column,
+    two_pass_min_docs: int | None = None,
+) -> DataFrame:
     """Per-segment filter-context doc-id sets, smaller polarity chosen.
 
     The filter-bitset analog (index/cache/filter/). Returns one row per
@@ -68,6 +76,18 @@ def _filter_sets(reader: IndexReader, filter_cond: Column) -> DataFrame:
     """
     docs = reader.docs()
     passes = F.coalesce(filter_cond, F.lit(False))  # null == fails, like WHERE
+    if two_pass_min_docs is None:
+        two_pass_min_docs = _FILTER_TWO_PASS_MIN_DOCS
+    if reader.n_docs <= two_pass_min_docs:
+        # small corpus: the two-pass polarity choice saves at most a few
+        # hundred KB but costs an extra narrow job of fixed scheduling
+        # latency — ship the plain allow-list in one pass instead
+        return (
+            docs.where(passes)
+            .groupBy("segment_id")
+            .agg(F.sort_array(F.collect_list("local_doc_id")).alias("f_ids"))
+            .select("segment_id", F.lit("allow").alias("f_mode"), "f_ids")
+        )
     counts = (
         docs.groupBy("segment_id")
         .agg(

@@ -169,7 +169,9 @@ def test_low_selectivity_filter_exact_and_small(slop_setup, mode):
         r["segment_id"]: r["n_docs"]
         for r in reader.norms().select("segment_id", "n_docs").collect()
     }
-    for r in _filter_sets(reader, cond).collect():
+    # force the two-pass polarity path (a 6-doc corpus takes the
+    # small-corpus single-pass shortcut by default)
+    for r in _filter_sets(reader, cond, two_pass_min_docs=0).collect():
         assert len(r["f_ids"]) <= seg_sizes[r["segment_id"]] // 2 + 1, (
             r["segment_id"], r["f_mode"], len(r["f_ids"]),
         )
@@ -184,14 +186,18 @@ def test_filter_sets_polarity_and_exclusion(slop_setup):
     from elasticsearch_spark.query.executor import _filter_sets
 
     reader, _ = slop_setup
-    rows = _filter_sets(reader, F.lit(True)).collect()
+    rows = _filter_sets(reader, F.lit(True), two_pass_min_docs=0).collect()
     assert rows and all(r["f_mode"] == "deny" and r["f_ids"] == [] for r in rows)
 
-    rows = _filter_sets(reader, F.col("conv_id") == "c0").collect()
+    rows = _filter_sets(reader, F.col("conv_id") == "c0", two_pass_min_docs=0).collect()
     assert all(r["f_mode"] == "allow" for r in rows)
     assert sum(len(r["f_ids"]) for r in rows) == 1
 
-    assert _filter_sets(reader, F.lit(False)).count() == 0
+    assert _filter_sets(reader, F.lit(False), two_pass_min_docs=0).count() == 0
+    # the small-corpus shortcut must produce the same allow semantics
+    small = _filter_sets(reader, F.col("conv_id") == "c0").collect()
+    assert all(r["f_mode"] == "allow" for r in small)
+    assert sum(len(r["f_ids"]) for r in small) == 1
     # nothing passes → zero hits, not an error
     assert search_topk(
         reader, "error timeout", k=10, filter_cond=F.lit(False)
