@@ -252,8 +252,20 @@ def merge_segments(
         "checksum": "",
     }
 
+    # tombstones: rebase each input segment's delete list into the merged
+    # id space (new_id = offset + old_id — the same rebase the postings get)
+    from elasticsearch_spark.index import deletes as _del
+
+    merged_dels = []
+    for s in group:
+        ids = _del.read_deletes(index_dir, s)
+        if ids.size:
+            merged_dels.append(ids + offsets[s])
+    if merged_dels:
+        _del.write_deletes(index_dir, merged_name, np.concatenate(merged_dels))
+
     # retire inputs (physical delete, post-commit — the Lucene way)
-    for sub in ("postings", "docs", "norms", "segterms"):
+    for sub in ("postings", "docs", "norms", "segterms", "deletes"):
         for s in group:
             shutil.rmtree(os.path.join(index_dir, sub, f"segment_id={s}"), ignore_errors=True)
 

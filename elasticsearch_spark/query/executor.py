@@ -117,7 +117,9 @@ def _filter_sets(
 
 
 def _allowed_mask(aux: pd.DataFrame, n_docs: int) -> np.ndarray | None:
-    """Decode the filter-context columns of the aux row into a bool mask."""
+    """Decode the filter-context / tombstone columns of the aux row into a
+    bool mask (None == everything allowed)."""
+    m: np.ndarray | None = None
     if "f_ids" in aux.columns:
         ids = np.asarray(aux["f_ids"].iloc[0], dtype=np.int64)
         if aux["f_mode"].iloc[0] == "allow":
@@ -126,13 +128,17 @@ def _allowed_mask(aux: pd.DataFrame, n_docs: int) -> np.ndarray | None:
         else:
             m = np.ones(n_docs, dtype=bool)
             m[ids] = False
-        return m
-    if "allowed_ids" in aux.columns:
+    elif "allowed_ids" in aux.columns:
         ids = np.asarray(aux["allowed_ids"].iloc[0], dtype=np.int64)
         m = np.zeros(n_docs, dtype=bool)
         m[ids] = True
-        return m
-    return None
+    if "d_ids" in aux.columns and aux["d_ids"].iloc[0] is not None:
+        dead = np.asarray(aux["d_ids"].iloc[0], dtype=np.int64)
+        if dead.size:
+            if m is None:
+                m = np.ones(n_docs, dtype=bool)
+            m[dead] = False  # liveDocs: tombstoned docs can never be hits
+    return m
 
 
 def _decode_term(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
@@ -702,9 +708,11 @@ def query_string_search(
         if filter_cond is None:
             return _empty_result(reader, extra_cols)
         # pure filter query: constant score 1.0, key-ordered (filtered
-        # match_all — ConstantScoreQuery semantics)
+        # match_all — ConstantScoreQuery semantics); tombstones excluded
+        from elasticsearch_spark.index.deletes import live_docs
+
         out = (
-            reader.docs()
+            live_docs(reader)
             .where(filter_cond)
             .select(*cfg.key_cols, *extra_cols)
             .withColumn("score", F.lit(1.0))
@@ -1033,9 +1041,11 @@ def _execute(
                 r["segment_id"]: (r["f_mode"], r["f_ids"])
                 for r in _filter_sets(reader, filter_cond).collect()
             }
+        from elasticsearch_spark.index.deletes import deletes_map
+
         local = _local_search(
             reader, score_fn, present, key_cols, extra_cols, k, columns,
-            allowed_map,
+            allowed_map, deletes_map(reader),
         )
         if local is not None:
             return local
@@ -1046,6 +1056,11 @@ def _execute(
         .select("segment_id", *columns)
     )
     aux = reader.norms().select("segment_id", "n_docs", "doc_len_packed")
+    from elasticsearch_spark.index.deletes import deletes_df
+
+    dels = deletes_df(reader)
+    if dels is not None:  # liveDocs: one tiny array per tombstoned segment
+        aux = aux.join(F.broadcast(dels), "segment_id", "left")
     if filter_cond is not None:
         # per-segment filter sets computed entirely JVM-side (columnar scan +
         # hash agg — the filter-context bitset analog, index/cache/filter/);
@@ -1097,7 +1112,7 @@ def _execute(
 
 
 def _local_search(reader, score_fn, present, key_cols, extra_cols, k,
-                  columns=None, allowed_map=None):
+                  columns=None, allowed_map=None, del_map=None):
     """Driver-local query execution: same numpy scorer, pyarrow-pruned reads.
 
     The per-segment loop below is the exact computation each executor runs in
@@ -1135,6 +1150,8 @@ def _local_search(reader, score_fn, present, key_cols, extra_cols, k,
                 continue  # no doc in this segment passes the filter
             mode, ids = allowed_map[seg]
             aux = aux.assign(f_mode=mode, f_ids=[list(ids)])
+        if del_map and seg in del_map:
+            aux = aux.assign(d_ids=[list(del_map[seg])])
         out = score_fn(g, aux)
         for ldoc, sc in zip(out["local_doc_id"], out["score"]):
             rows.append({"segment_id": seg, "local_doc_id": int(ldoc), "score": float(sc)})
