@@ -1004,6 +1004,95 @@ ORDER BY sig_score DESC, lang ASC LIMIT 5
     ).withColumn("sig_score", F.round("sig_score", 6))
 )
 
+
+def _sig_nxy_sql(score_sql: str, keep_sql: str | None) -> str:
+    """Shared NXY contingency CTE for the significant-terms heuristic
+    oracles (mirrors ops/aggs.py significant_terms exactly: n11=fg_count,
+    n_1=fg_total, n1_=bg_count, n=bg_total, derived n10/n_0/n0_/n01/n00)."""
+    where = f"WHERE {keep_sql}" if keep_sql else ""
+    return f"""
+WITH tot AS (
+  SELECT count(*) AS bg_total,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS fg_total
+  FROM documents
+), counts AS (
+  SELECT lang, count(*) AS bg_count,
+         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS fg_count
+  FROM documents GROUP BY lang
+), nxy AS (
+  SELECT lang, fg_count, bg_count,
+         CAST(fg_count AS DOUBLE) AS n11, CAST(fg_total AS DOUBLE) AS n_1,
+         CAST(bg_count AS DOUBLE) AS n1_, CAST(bg_total AS DOUBLE) AS n,
+         CAST(bg_count - fg_count AS DOUBLE) AS n10,
+         CAST(bg_total - fg_total AS DOUBLE) AS n_0,
+         CAST(bg_total - bg_count AS DOUBLE) AS n0_,
+         CAST(fg_total - fg_count AS DOUBLE) AS n01,
+         CAST((bg_total - bg_count) - (fg_total - fg_count) AS DOUBLE) AS n00
+  FROM counts CROSS JOIN tot
+  WHERE fg_count >= 3 AND bg_count > 0
+)
+SELECT lang, fg_count, bg_count, round({score_sql}, 6) AS sig_score
+FROM nxy {where}
+ORDER BY sig_score DESC, lang ASC LIMIT 5
+"""
+
+
+register(
+    "agg_significant_chi2",
+    _sig_nxy_sql(
+        "n * pow(n11 * n00 - n01 * n10, 2) / (n_1 * n1_ * n0_ * n_0)",
+        "n11 / n_1 >= n10 / n_0",
+    ),
+)(
+    lambda spark, sf: aggs.significant_terms(
+        _t(spark, sf, "documents"), "lang", filters.term("source", "src1"),
+        size=5, heuristic="chi_square",
+    ).withColumn("sig_score", F.round("sig_score", 6))
+)
+
+_MI_TERM = (
+    "(CASE WHEN {nxy} <= 0 THEN 0.0 "
+    "ELSE ({nxy} / n) * ln((n * {nxy}) / ({nx_} * {n_y})) END)"
+)
+register(
+    "agg_significant_mi",
+    _sig_nxy_sql(
+        "("
+        + " + ".join(
+            _MI_TERM.format(nxy=a, nx_=b, n_y=c)
+            for a, b, c in (
+                ("n00", "n0_", "n_0"),
+                ("n01", "n0_", "n_1"),
+                ("n10", "n1_", "n_0"),
+                ("n11", "n1_", "n_1"),
+            )
+        )
+        + ") / ln(2)",
+        "n11 / n_1 >= n10 / n_0",
+    ),
+)(
+    lambda spark, sf: aggs.significant_terms(
+        _t(spark, sf, "documents"), "lang", filters.term("source", "src1"),
+        size=5, heuristic="mutual_information",
+    ).withColumn("sig_score", F.round("sig_score", 6))
+)
+
+register(
+    "agg_significant_gnd",
+    _sig_nxy_sql(
+        "CASE WHEN n11 = 0 THEN 0.0 "
+        "WHEN n1_ = n_1 AND n1_ = n11 THEN 1.0 "
+        "ELSE exp(-(greatest(ln(n1_), ln(n_1)) - ln(n11)) / "
+        "(ln(n) - least(ln(n1_), ln(n_1)))) END",
+        None,
+    ),
+)(
+    lambda spark, sf: aggs.significant_terms(
+        _t(spark, sf, "documents"), "lang", filters.term("source", "src1"),
+        size=5, heuristic="gnd",
+    ).withColumn("sig_score", F.round("sig_score", 6))
+)
+
 register(
     "agg_top_hits",
     "SELECT lang, doc_id, n_chars FROM ("

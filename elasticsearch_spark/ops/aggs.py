@@ -12,6 +12,7 @@ unfiltered frame (GlobalAggregator.java does a second match_all pass).
 
 from __future__ import annotations
 
+import math
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -235,8 +236,26 @@ def significant_terms(
     MutualInformation.java, GND.java): terms over-represented in the
     foreground (hits) vs the background (whole corpus).
 
-    JLH = (fg% - bg%) * (fg% / bg%); chi2 per ChiSquare.java with
-    include_negatives semantics simplified to the positive branch.
+    All four heuristics use the exact reference formulas with the default
+    parser flags (background_is_superset=true, include_negatives=false —
+    NXYSignificanceHeuristic.NXYParser): the NXY contingency table is
+
+        N11 = fg_count            N_1 = fg_total
+        N10 = bg_count - fg_count N_0 = bg_total - fg_total
+        N1_ = bg_count            N0_ = bg_total - bg_count
+        N01 = fg_total - fg_count N00 = N0_ - N01      N = bg_total
+
+    - jlh  (JLHScore.java:64-101): (fg% - bg%) · (fg% / bg%), 0 when the
+      absolute change ≤ 0 (those rows are dropped).
+    - chi_square (ChiSquare.java:70-80): N·(N11·N00 - N01·N10)² /
+      (N_1·N1_·N0_·N_0); include_negatives=false drops buckets where
+      N11/N_1 < N10/N_0.
+    - mutual_information (MutualInformation.java:73-113): Σ MI terms /
+      ln 2, each term (Nxy/N)·ln(N·Nxy/(Nx_·N_y)) with the 0·log 0 = 0
+      guard; same negative-direction drop.
+    - gnd (GND.java:75-96): exp(-(max(ln fx, ln fy) - ln fxy) /
+      (ln N - min(ln fx, ln fy))) over fx=N1_, fy=N_1, fxy=N11; 0 on no
+      co-occurrence, 1 on perfect co-occurrence.
     """
     tot = df.agg(
         F.count(F.lit(1)).alias("bg_total"),
@@ -249,20 +268,58 @@ def significant_terms(
     j = counts.crossJoin(F.broadcast(tot)).where(
         (F.col("fg_count") >= min_doc_count) & (F.col("bg_count") > 0)
     )
-    fg_pct = F.col("fg_count") / F.col("fg_total")
-    bg_pct = F.col("bg_count") / F.col("bg_total")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n11 = d("fg_count")
+    n_1 = d("fg_total")
+    n1_ = d("bg_count")
+    n = d("bg_total")
+    n10 = n1_ - n11
+    n_0 = n - n_1
+    n0_ = n - n1_
+    n01 = n_1 - n11
+    n00 = n0_ - n01
+    keep = None  # extra row filter beyond sig_score (include_negatives=false)
     if heuristic == "jlh":
+        fg_pct, bg_pct = n11 / n_1, n1_ / n
         score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        keep = score > 0
     elif heuristic == "chi_square":
-        score = F.pow(fg_pct - bg_pct, 2) / bg_pct
+        score = (
+            n * F.pow(n11 * n00 - n01 * n10, 2.0) / (n_1 * n1_ * n0_ * n_0)
+        )
+        keep = (n11 / n_1) >= (n10 / n_0)
     elif heuristic == "mutual_information":
-        score = fg_pct * F.log2(fg_pct / bg_pct)
+        def mi_term(nxy, nx_, n_y):
+            return F.when(nxy <= 0, F.lit(0.0)).otherwise(
+                (nxy / n) * F.log((n * nxy) / (nx_ * n_y))
+            )
+
+        score = (
+            mi_term(n00, n0_, n_0)
+            + mi_term(n01, n0_, n_1)
+            + mi_term(n10, n1_, n_0)
+            + mi_term(n11, n1_, n_1)
+        ) / math.log(2.0)
+        keep = (n11 / n_1) >= (n10 / n_0)
+    elif heuristic == "gnd":
+        fx, fy, fxy = n1_, n_1, n11
+        score = (
+            F.when(fxy == 0, F.lit(0.0))
+            .when((fx == fy) & (fx == fxy), F.lit(1.0))
+            .otherwise(
+                F.exp(
+                    -(F.greatest(F.log(fx), F.log(fy)) - F.log(fxy))
+                    / (F.log(n) - F.least(F.log(fx), F.log(fy)))
+                )
+            )
+        )
     else:
         raise ValueError(f"unknown heuristic {heuristic}")
+    out = j.withColumn("sig_score", score)
+    if keep is not None:
+        out = out.where(keep)
     return (
-        j.withColumn("sig_score", score)
-        .where(F.col("sig_score") > 0)
-        .orderBy(F.col("sig_score").desc(), F.col(col).asc())
+        out.orderBy(F.col("sig_score").desc(), F.col(col).asc())
         .limit(size)
         .select(col, "fg_count", "bg_count", "sig_score")
     )
