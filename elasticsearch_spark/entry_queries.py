@@ -159,6 +159,27 @@ register("fuzzy_query", fuzzy_sql("tabel", fuzziness=2, k=10))(
     )
 )
 
+def _fuzzy_indexed_query(spark, sf):
+    """The fuzzy SCALE path: Levenshtein expansion over the index's term
+    dictionary (reader.termstats() — vocabulary-sized, length/prefix
+    pushdown before the edit distance), then disjunctive BM25 via
+    terms_topk. The corpus-explode variant behind `fuzzy_query` is the
+    index-less fallback; this is the plan that survives 100 TB."""
+    from elasticsearch_spark.query import fuzzy_search_topk
+
+    out = fuzzy_search_topk(_indexed_reader(spark, sf), "tabel", fuzziness=2, k=10)
+    return (
+        out.withColumn("score", F.round("score", 4))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+register("fuzzy_indexed", fuzzy_sql("tabel", fuzziness=2, k=10))(
+    _fuzzy_indexed_query
+)
+
+
 _RESCORE_SQL = f"""
 WITH {_ranges_cte()},
 {_field_score_cte("f0", "'query','fast'", "documents", "doc_id", "text", 1.2, 0.75, True)},

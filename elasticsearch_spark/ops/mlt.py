@@ -49,12 +49,14 @@ def more_like_this(
     max_query_terms: int = 25,
     minimum_should_match: int = 1,
 ):
-    """MLT = term selection + disjunctive BM25 top-k."""
-    from elasticsearch_spark.query.executor import search_topk
+    """MLT = term selection + disjunctive BM25 top-k. The selected terms
+    are already dictionary terms, so they score directly via terms_topk —
+    no analyzer round-trip that could re-stem or drop them."""
+    from elasticsearch_spark.query.executor import terms_topk
 
     terms = select_mlt_terms(reader, like_text, max_query_terms)
-    return search_topk(
-        reader, " ".join(terms), k=k, minimum_should_match=minimum_should_match
+    return terms_topk(
+        reader, terms, k=k, minimum_should_match=minimum_should_match
     )
 
 
@@ -78,7 +80,7 @@ def fuzzy_like_this(
     """
     from pyspark.sql import functions as F
 
-    from elasticsearch_spark.query.executor import lucene_idf, search_topk
+    from elasticsearch_spark.query.executor import lucene_idf, terms_topk
 
     tokens = list(dict.fromkeys(tokenize_text(like_text, reader.cfg.analyzer)))
     if not tokens:
@@ -115,7 +117,9 @@ def fuzzy_like_this(
         from elasticsearch_spark.query.executor import _empty_result
 
         return _empty_result(reader, ())
-    return search_topk(reader, " ".join(selected), k=k)
+    # selected terms are dictionary terms — score them directly rather than
+    # round-tripping through the analyzer (which could re-stem/drop them)
+    return terms_topk(reader, selected, k=k)
 
 
 def common_terms_split(

@@ -24,7 +24,7 @@ more than half a segment's ids ship.
 
 from __future__ import annotations
 
-from typing import Iterable
+from typing import Iterable, Sequence
 
 import numpy as np
 import pandas as pd
@@ -359,6 +359,81 @@ def search_topk(
         reader, score_fn, present, k, filter_cond, list(extra_cols), mode, est,
         local_postings_limit, _MATCH_COLUMNS,
     )
+
+
+def terms_topk(
+    reader: IndexReader,
+    terms: Sequence[str],
+    k: int = 10,
+    minimum_should_match: int = 1,
+    filter_cond: Column | None = None,
+    extra_cols: Iterable[str] = (),
+    mode: str = "auto",
+    local_postings_limit: int = 2_000_000,
+) -> DataFrame:
+    """Disjunctive BM25 over PRE-ANALYZED dictionary terms — no analyzer
+    round-trip. This is the scoring tail of every MultiTermQuery rewrite
+    (fuzzy/MLT/fuzzy_like_this expansions pick terms straight from the term
+    dictionary; re-tokenizing them through a stemming/synonym analyzer
+    could transform or drop the very terms that were selected). Each term
+    scores with weight = multiplicity · idf, exactly like search_topk."""
+    terms = list(terms)
+    if not terms:
+        return _empty_result(reader, extra_cols)
+    stats = reader.query_term_stats(terms)
+    uniq = list(dict.fromkeys(terms))
+    present = [t for t in uniq if stats.get(t, (0, 0))[0] > 0]
+    if not present:
+        return _empty_result(reader, extra_cols)
+    need = max(1, minimum_should_match)
+    n = reader.n_docs
+    cfg = reader.cfg
+    weights = {
+        t: terms.count(t) * lucene_idf(n, stats[t][0]) for t in present
+    }
+    score_fn = _segment_scorer(
+        weights, need, k, cfg.bm25.k1, cfg.bm25.b, reader.avgdl, True,
+        cfg.bm25.quantize_norms,
+    )
+    est = sum(stats[t][0] for t in present)
+    return _execute(
+        reader, score_fn, present, k, filter_cond, list(extra_cols), mode, est,
+        local_postings_limit, _MATCH_COLUMNS,
+    )
+
+
+def fuzzy_search_topk(
+    reader: IndexReader,
+    query_term: str,
+    fuzziness: int = 2,
+    prefix_length: int = 0,
+    k: int = 10,
+    **kw,
+) -> DataFrame:
+    """fuzzy query over the INDEXED term dictionary (FuzzyQueryParser.java →
+    MultiTermQuery rewrite): expand ``query_term`` within ``fuzziness``
+    edits against reader.termstats() — a vocabulary-sized scan with
+    length-window + prefix pushdown before the levenshtein — then score the
+    expansion disjunctively via terms_topk. This is the scale path; the
+    corpus-explode variant in query/online.py is the index-less fallback."""
+    from elasticsearch_spark.ops.filters import fuzzy_terms
+
+    q = (tokenize_text(query_term, reader.cfg.analyzer) or [""])[0]
+    if not q:
+        return _empty_result(reader, ())
+    cand = reader.termstats().where(
+        (F.length("term") >= len(q) - fuzziness)
+        & (F.length("term") <= len(q) + fuzziness)
+    )
+    if prefix_length > 0:
+        cand = cand.where(F.col("term").startswith(q[:prefix_length]))
+    expanded = sorted(
+        r["term"] for r in fuzzy_terms(cand, "term", q, fuzziness)
+        .select("term").collect()
+    )
+    if not expanded:
+        return _empty_result(reader, ())
+    return terms_topk(reader, expanded, k=k, **kw)
 
 
 # postings columns the match scorer touches (positions pruned away)
