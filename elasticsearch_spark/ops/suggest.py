@@ -134,45 +134,77 @@ def bigram_counts(
     postings of only the involved terms (the shingle-field LM analog the
     reference builds at index time — here derived on demand from positions).
 
-    Scale note: the scan is term-pruned to the candidate vocabulary (a
-    handful of terms per suggestion request); per segment the count is the
-    same sorted-key intersection the phrase kernel uses."""
+    Scale shape: the postings scan is term-pruned to the candidate
+    vocabulary, and the pair counting runs PER SEGMENT as a cogrouped
+    Arrow kernel (the same sorted-key intersection the phrase scorer
+    uses); only the aggregated (term_a, term_b, count) rows — bounded by
+    the pair list, never by posting volume — reach the driver. A hot term
+    like 'the' contributes a per-segment integer, not its posting list."""
     from elasticsearch_spark.query.executor import _decode_term_pos
 
     terms = sorted({t for p in pairs for t in p})
     if not terms or not pairs:
         return {}
     SHIFT = 22
-    rows = (
+    pair_list = sorted(set(pairs))
+
+    def seg_pair_counts(it):
+        import pandas as pd
+
+        for seg in it:
+            if seg.empty:
+                continue
+            seg = seg.sort_values(["term", "first_doc"])
+            keys: dict[str, np.ndarray] = {}
+            for t, g in seg.groupby("term", sort=False):
+                docs, tfs, pos = _decode_term_pos(g)
+                doc_of_pos = np.repeat(docs, tfs.astype(np.int64))
+                keys[t] = (doc_of_pos << SHIFT) + pos.astype(np.int64)
+            out_a, out_b, out_c = [], [], []
+            for a, b in pair_list:
+                ka, kb = keys.get(a), keys.get(b)
+                if ka is None or kb is None:
+                    continue
+                c = int(np.intersect1d(ka + 1, kb, assume_unique=True).size)
+                if c:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_c.append(c)
+            if out_a:
+                yield pd.DataFrame({"a": out_a, "b": out_b, "cnt": out_c})
+
+    agg = _bigram_counts_df(reader, terms, seg_pair_counts)
+    counts: dict[tuple[str, str], int] = {p: 0 for p in pairs}
+    for r in agg.collect():
+        counts[(r["a"], r["b"])] = int(r["cnt"])
+    return counts
+
+
+def _bigram_counts_df(reader: IndexReader, terms: list[str], kernel) -> DataFrame:
+    """Distributed pair-count plan: term-pruned postings scan → per-segment
+    Arrow kernel → global sum. Factored out so plan_audit can assert the
+    shape (pushed term filter, FlatMapGroupsInPandas, HashAggregate — and
+    no driver-side postings collect anywhere)."""
+    per_seg = (
         reader.postings()
         .where(F.col("term").isin(terms))
         .select(
             "segment_id", "term", "block_id", "n_docs", "first_doc",
             "docs_packed", "tfs_packed", "pos_packed",
         )
-        .collect()
+        .groupBy("segment_id")
+        .applyInPandas(
+            lambda _key, seg: next(kernel([seg]), _EMPTY_PAIRS()),
+            schema="a string, b string, cnt long",
+        )
     )
+    return per_seg.groupBy("a", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def _EMPTY_PAIRS():
     import pandas as pd
 
-    pdf = pd.DataFrame([r.asDict() for r in rows])
-    counts: dict[tuple[str, str], int] = {p: 0 for p in pairs}
-    if pdf.empty:
-        return counts
-    for _, seg in pdf.groupby("segment_id", sort=False):
-        seg = seg.sort_values(["term", "first_doc"])
-        keys: dict[str, np.ndarray] = {}
-        for t, g in seg.groupby("term", sort=False):
-            docs, tfs, pos = _decode_term_pos(g)
-            doc_of_pos = np.repeat(docs, tfs.astype(np.int64))
-            keys[t] = (doc_of_pos << SHIFT) + pos.astype(np.int64)
-        for a, b in pairs:
-            ka, kb = keys.get(a), keys.get(b)
-            if ka is None or kb is None:
-                continue
-            counts[(a, b)] += int(
-                np.intersect1d(ka + 1, kb, assume_unique=True).size
-            )
-    return counts
+    return pd.DataFrame({"a": [], "b": [], "cnt": []})
 
 
 def phrase_suggest_scored(

@@ -125,6 +125,25 @@ def main() -> None:
         FAILS.append(("agg_partial_final", "scan reads unneeded columns"))
         print("FAIL  agg_partial_final (column pruning)")
 
+    # 7. phrase-suggester bigram LM: term-pruned postings scan feeding a
+    #    per-segment Arrow kernel + global sum — NO postings collect. Only
+    #    the (pair, count) aggregate (vocabulary-bounded) reaches the driver.
+    from elasticsearch_spark.ops.suggest import _bigram_counts_df
+
+    def _noop_kernel(it):
+        import pandas as pd
+
+        for _ in it:
+            yield pd.DataFrame({"a": [], "b": [], "cnt": []})
+
+    bg = _bigram_counts_df(reader, ["data", "query"], _noop_kernel)
+    check(
+        "bigram_lm_distributed",
+        plan_of(bg),
+        must=["FlatMapGroupsInPandas", "HashAggregate", "PushedFilters: [In(term"],
+        must_not=["CartesianProduct"],
+    )
+
     print()
     if FAILS:
         for n, why in FAILS:
