@@ -2,19 +2,23 @@
 
 Reference: Lucene marks deleted docs in a per-segment liveDocs bitset;
 queries skip them, while corpus statistics (N, df, avgdl) keep counting
-them until the segment is rewritten by a merge
-(index/engine/internal/InternalEngine.java delete path + the .del files
-Lucene 5 writes). The same contract here:
+them (index/engine/internal/InternalEngine.java delete path + the .del
+files Lucene 5 writes). The same contract here:
 
 - ``delete_docs`` resolves a predicate to per-segment local-id tombstone
   lists written under ``deletes/segment_id=*/`` (immutable rewrite of a
   tiny file; union with any existing list — idempotent).
 - every scorer masks tombstoned ids (same per-segment mask channel the
   filter context uses), so deleted docs can never be hits;
-- BM25 statistics intentionally still include them until merge — identical
-  scores to Lucene-before-expunge, and partition-count invariant;
+- BM25 statistics intentionally still include them — identical scores to
+  Lucene-before-expunge, and partition-count invariant;
 - ``index/merge.py`` rebases tombstones into the merged segment's id space
-  (new_id = segment offset + old_id, the same rebase the postings get).
+  (new_id = segment offset + old_id, the same rebase the postings get) and
+  PRESERVES them: unlike a Lucene merge, repack never expunges deleted
+  docs, so corpus stats (N, df, avgdl) keep counting tombstoned docs
+  indefinitely. This is a deliberate divergence — it keeps scores
+  partition-count- and merge-invariant; reclaiming space is a rebuild
+  (filter the source and re-index), not a merge side effect.
 """
 
 from __future__ import annotations

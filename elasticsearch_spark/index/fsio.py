@@ -73,6 +73,16 @@ def exists(path: str) -> bool:
     return fs.get_file_info(p).type != pafs.FileType.NotFound
 
 
+def delete_dir(path: str) -> None:
+    """Recursively delete a directory on ANY store (local path, file://,
+    s3://, registered fs). No-op if absent. Segment retirement must go
+    through this — a plain shutil.rmtree silently no-ops on URIs, leaving
+    retired segment files for whole-directory readers to double-count."""
+    fs, p = resolve(path)
+    if fs.get_file_info(p).type != pafs.FileType.NotFound:
+        fs.delete_dir(p)
+
+
 def open_input(path: str):
     fs, p = resolve(path)
     return fs.open_input_file(p)

@@ -31,7 +31,6 @@ Spark-first design — two key departures from a naive "shuffle by term":
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Sequence
 
 import numpy as np
@@ -39,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from elasticsearch_spark.index import fsio
 from elasticsearch_spark.index.builder import MANIFEST_SCHEMA
 from elasticsearch_spark.index.codec import delta_decode, delta_encode, pack_u32, unpack_u32
 
@@ -264,10 +264,14 @@ def merge_segments(
     if merged_dels:
         _del.write_deletes(index_dir, merged_name, np.concatenate(merged_dels))
 
-    # retire inputs (physical delete, post-commit — the Lucene way)
+    # retire inputs (physical delete, post-commit — the Lucene way).
+    # Routed through fsio so retirement works on file:// / object-store
+    # URIs too: IndexReader reads whole directories, so a silently
+    # no-op'd local rmtree on a URI store would leave the old segment
+    # files visible and double-count every doc.
     for sub in ("postings", "docs", "norms", "segterms", "deletes"):
         for s in group:
-            shutil.rmtree(os.path.join(index_dir, sub, f"segment_id={s}"), ignore_errors=True)
+            fsio.delete_dir("/".join([index_dir.rstrip("/"), sub, f"segment_id={s}"]))
 
     # manifest: append merged row + supersede markers
     sup = [

@@ -61,8 +61,11 @@ def active_segments(spark, index_dir: str) -> list[str]:
 
 
 def snapshot(spark, index_dir: str, snap_dir: str) -> dict:
-    """Copy the active file set (segments + termstats + manifest + meta)
-    to ``snap_dir``; returns the written snapshot manifest (segment list)."""
+    """Copy the active file set (segments + tombstones + termstats +
+    manifest + meta) to ``snap_dir``; returns the written snapshot
+    manifest (segment list). Per-segment delete lists (deletes/) are part
+    of the commit point — omitting them would resurrect tombstoned docs
+    on restore (Lucene snapshots likewise include the .del generation)."""
     segs = active_segments(spark, index_dir)
     for sub in _SUBDIRS:
         for seg in segs:
@@ -70,6 +73,10 @@ def snapshot(spark, index_dir: str, snap_dir: str) -> dict:
                 _join(index_dir, sub, f"segment_id={seg}"),
                 _join(snap_dir, sub, f"segment_id={seg}"),
             )
+    for seg in segs:  # tombstones exist only for segments with deletes
+        src = _join(index_dir, "deletes", f"segment_id={seg}")
+        if fsio.exists(src):
+            _copy_dir(src, _join(snap_dir, "deletes", f"segment_id={seg}"))
     _copy_dir(_join(index_dir, "termstats"), _join(snap_dir, "termstats"))
     _copy_dir(_join(index_dir, "manifest"), _join(snap_dir, "manifest"))
     _copy_file(_join(index_dir, "meta.json"), _join(snap_dir, "meta.json"))
@@ -90,6 +97,10 @@ def restore(snap_dir: str, index_dir: str) -> dict:
                 _join(snap_dir, sub, f"segment_id={seg}"),
                 _join(index_dir, sub, f"segment_id={seg}"),
             )
+    for seg in snap_meta["segments"]:
+        src = _join(snap_dir, "deletes", f"segment_id={seg}")
+        if fsio.exists(src):
+            _copy_dir(src, _join(index_dir, "deletes", f"segment_id={seg}"))
     _copy_dir(_join(snap_dir, "termstats"), _join(index_dir, "termstats"))
     _copy_dir(_join(snap_dir, "manifest"), _join(index_dir, "manifest"))
     _copy_file(_join(snap_dir, "meta.json"), _join(index_dir, "meta.json"))

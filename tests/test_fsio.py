@@ -134,3 +134,90 @@ def test_snapshot_restore_roundtrip(spark, tmp_root, mockfs):
     restore("mock://snaps/s1", dst)
     got = [tuple(r) for r in search_topk(IndexReader(spark, dst), "error timeout", k=10).collect()]
     assert got == want
+
+
+def test_snapshot_restore_preserves_deletes(spark, tmp_root, mockfs):
+    """ADVICE r2 (high): snapshots must carry deletes/ — restoring must NOT
+    resurrect tombstoned docs as hits."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.config import IndexConfig
+    from elasticsearch_spark.index import IndexReader, build_index
+    from elasticsearch_spark.index.deletes import delete_docs
+    from elasticsearch_spark.index.snapshot import restore, snapshot
+    from elasticsearch_spark.query import search_topk
+
+    corpus = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(6)],
+            "turn_idx": [0] * 6,
+            "text": [
+                "error timeout retry", "error handled", "timeout alone",
+                "retry error storm", "filler one", "error again here",
+            ],
+        }
+    )
+    src = f"{tmp_root}/idx_snapdel_src"
+    build_index(spark, spark.createDataFrame(corpus), src, IndexConfig(n_partitions=2))
+    reader = IndexReader(spark, src)
+    assert delete_docs(reader, F.col("conv_id").isin(["c0", "c3"])) == 2
+    want = {
+        r["conv_id"]
+        for r in search_topk(IndexReader(spark, src), "error timeout", k=10).collect()
+    }
+    assert not ({"c0", "c3"} & want)
+
+    snapshot(spark, src, "mock://snaps/s_del")
+    dst = f"{tmp_root}/idx_snapdel_restored"
+    restore("mock://snaps/s_del", dst)
+    got = {
+        r["conv_id"]
+        for r in search_topk(IndexReader(spark, dst), "error timeout", k=10).collect()
+    }
+    assert got == want  # tombstoned docs stay dead after restore
+
+
+def test_merge_retires_segments_on_file_uri(spark, tmp_root):
+    """ADVICE r2 (medium): segment retirement goes through fsio, so a merge
+    on a file://-addressed index actually removes the input segment files —
+    whole-directory readers must not double-count docs afterwards."""
+    import pandas as pd
+
+    from elasticsearch_spark.config import IndexConfig
+    from elasticsearch_spark.index import IndexReader, build_index
+    from elasticsearch_spark.index.merge import tiered_merge
+    from elasticsearch_spark.query import search_topk
+
+    corpus = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(8)],
+            "turn_idx": [0] * 8,
+            "text": [
+                "error timeout retry", "error handled", "timeout alone",
+                "retry error storm", "filler one", "filler two",
+                "error again here", "last timeout row",
+            ],
+        }
+    )
+    uri = f"file://{tmp_root}/idx_merge_uri"
+    build_index(spark, spark.createDataFrame(corpus), uri, IndexConfig(n_partitions=3))
+    want = [
+        (r["conv_id"], r["score"])
+        for r in search_topk(IndexReader(spark, uri), "error timeout", k=10).collect()
+    ]
+
+    rows = tiered_merge(spark, uri)
+    assert rows and rows[0]["merge_fan_in"] >= 2
+    reader = IndexReader(spark, uri)
+    # retired segment dirs are physically gone → no double counting
+    import os
+
+    local = uri[len("file://"):]
+    seg_dirs = sorted(os.listdir(os.path.join(local, "postings")))
+    assert seg_dirs == [f"segment_id={rows[0]['segment_id']}"]
+    got = [
+        (r["conv_id"], r["score"])
+        for r in search_topk(reader, "error timeout", k=10).collect()
+    ]
+    assert got == want
