@@ -1401,22 +1401,41 @@ register(
 # Training-data pipeline: dedup / similarity / text stats
 # --------------------------------------------------------------------------
 
+# The sf fixtures carry no exact duplicates, which made these checks
+# vacuous (0 groups). Both sides now union in PLANTED duplicates — a
+# deterministic re-emit of every 37th doc under doc_id+1000000 — so the
+# grouping/keep logic is actually exercised by the driver's oracle run.
+_PLANTED_DUPS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
+    "FROM documents WHERE doc_id % 37 = 0"
+)
+
+
+def _docs_with_planted_dups(spark, sf):
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.where(F.col("doc_id") % 37 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+
+
 register(
     "dedup_exact_groups",
-    "SELECT min(doc_id) AS keep_key, count(*) AS n_dups FROM documents "
+    f"SELECT min(doc_id) AS keep_key, count(*) AS n_dups FROM ({_PLANTED_DUPS_SQL}) "
     "GROUP BY text HAVING count(*) > 1",
 )(
     lambda spark, sf: dedup.exact_dup_groups(
-        _t(spark, sf, "documents"), "text", "doc_id"
+        _docs_with_planted_dups(spark, sf), "text", "doc_id"
     ).select("keep_key", "n_dups")
 )
 
 register(
     "dedup_exact_keep",
-    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    f"SELECT min(doc_id) AS doc_id FROM ({_PLANTED_DUPS_SQL}) GROUP BY text",
 )(
     lambda spark, sf: dedup.exact_dedup(
-        _t(spark, sf, "documents"), "text", "doc_id"
+        _docs_with_planted_dups(spark, sf), "text", "doc_id"
     ).select("doc_id")
 )
 
@@ -1472,9 +1491,22 @@ WHERE len(list_intersect(a.s, b.s)) /
     .select("key_a", "key_b", F.round("jaccard", 6).alias("jaccard"))
 )
 
+def _embeddings_with_planted_dups(spark, sf):
+    """The sf fixture has no ≥0.95-cosine pair, so the near-dup check was
+    vacuous. Plant exact-copy vectors (cosine 1.0) for every 53rd vec_id
+    under vec_id+1000000 — deterministic, so the rows-only driver check
+    exercises the LSH-bucketed pair generation with a nonzero answer."""
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    return emb.unionByName(
+        emb.where(F.col("vec_id") % 53 == 0)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+
+
 register("dedup_embedding_cosine")(  # hyperplane buckets → rows-only check
     lambda spark, sf: dedup.embedding_cosine_dups(
-        _t(spark, sf, "embeddings"), "embedding", "vec_id", threshold=0.95
+        _embeddings_with_planted_dups(spark, sf), "embedding", "vec_id",
+        threshold=0.95,
     )
 )
 
