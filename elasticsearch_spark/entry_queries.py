@@ -284,6 +284,113 @@ def _completion_query(spark, sf):
 register("suggest_completion", _COMPLETION_SQL)(_completion_query)
 
 
+# Weighted completion (CompletionFieldMapper weight/payload semantics):
+# each doc contributes input=lower(source), output=source, weight=n_chars,
+# payload=doc_id; lookup dedups by surface keeping the lexicographic max
+# of (weight, payload) — ties deterministic on both engines.
+_COMPLETION_WEIGHTED_SQL = """
+SELECT completion, m.w AS weight, m.p AS payload FROM (
+  SELECT source AS completion,
+         max(struct_pack(w := CAST(n_chars AS BIGINT),
+                         p := CAST(doc_id AS VARCHAR))) AS m
+  FROM documents WHERE lower(source) LIKE 'src1%'
+  GROUP BY source
+) ORDER BY weight DESC, completion ASC LIMIT 5
+""".strip()
+
+_COMPLETION_FUZZY_SQL = """
+SELECT completion, m.w AS weight, m.p AS payload FROM (
+  SELECT source AS completion,
+         max(struct_pack(w := CAST(n_chars AS BIGINT),
+                         p := CAST(doc_id AS VARCHAR))) AS m
+  FROM documents
+  WHERE lower(source) LIKE 's%'
+    AND levenshtein(substr(lower(source), 2, 3), 'rd1') <= 1
+  GROUP BY source
+) ORDER BY weight DESC, completion ASC LIMIT 5
+""".strip()
+
+
+def _completion_entries(spark, sf):
+    from elasticsearch_spark.ops.suggest import build_completion_entries
+
+    return build_completion_entries(
+        _t(spark, sf, "documents"),
+        input_col="source",
+        weight_col="n_chars",
+        output_col="source",
+        payload_col=F.col("doc_id").cast("string"),
+    )
+
+
+def _completion_weighted_query(spark, sf):
+    from elasticsearch_spark.ops.suggest import completion_suggest_weighted
+
+    return completion_suggest_weighted(_completion_entries(spark, sf), "src1", size=5)
+
+
+def _completion_fuzzy_query(spark, sf):
+    from elasticsearch_spark.ops.suggest import completion_suggest_weighted
+
+    return completion_suggest_weighted(
+        _completion_entries(spark, sf), "srd1", size=5, fuzziness=1
+    )
+
+
+register("suggest_completion_weighted", _COMPLETION_WEIGHTED_SQL)(
+    _completion_weighted_query
+)
+register("suggest_completion_fuzzy", _COMPLETION_FUZZY_SQL)(_completion_fuzzy_query)
+
+
+# Scripted update / doc_as_upsert as ONE MERGE-shaped plan (§2.1 update):
+# batch = partial docs (lang := 'xx', counter script n_chars += incoming)
+# for every 10th doc + brand-new docs upserted under doc_id+1000000.
+_UPDATE_MERGE_SQL = """
+WITH upd AS (
+  SELECT doc_id, 'xx' AS lang, n_chars FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'ins' AS lang, 7 AS n_chars
+  FROM documents WHERE doc_id % 10 = 5
+)
+SELECT COALESCE(d.doc_id, u.doc_id) AS doc_id,
+       CASE WHEN d.doc_id IS NOT NULL THEN COALESCE(u.lang, d.lang)
+            ELSE u.lang END AS lang,
+       CASE WHEN d.doc_id IS NOT NULL AND u.doc_id IS NOT NULL
+                 THEN d.n_chars + u.n_chars
+            WHEN d.doc_id IS NOT NULL THEN d.n_chars
+            ELSE u.n_chars END AS n_chars,
+       CASE WHEN d.doc_id IS NOT NULL THEN d.source END AS source
+FROM documents d FULL OUTER JOIN upd u ON d.doc_id = u.doc_id
+""".strip()
+
+
+def _update_merge_query(spark, sf):
+    from elasticsearch_spark.ops.update import merge_upsert
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    batch = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.lit("xx").alias("lang"), F.col("n_chars").cast("long").alias("n_chars")
+    ).unionByName(
+        docs.where(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("ins").alias("lang"),
+            F.lit(7).cast("long").alias("n_chars"),
+        )
+    )
+    return merge_upsert(
+        docs,
+        batch,
+        ["doc_id"],
+        script={"n_chars": lambda o, n: o["n_chars"] + n["n_chars"]},
+    ).select("doc_id", "lang", "n_chars", "source")
+
+
+register("update_merge_upsert", _UPDATE_MERGE_SQL)(_update_merge_query)
+
+
 _SUGGEST_PHRASE_SQL = r"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
@@ -1832,6 +1939,10 @@ _DRIVER_PRIORITY = [
     "multimodal_features",
     "multimodal_image_decode",
     "multimodal_audio_decode",
+    # new in r3: completion weight/payload/fuzzy + MERGE-shaped update
+    "suggest_completion_weighted",
+    "suggest_completion_fuzzy",
+    "update_merge_upsert",
     # oracle newly closed this round (was no_oracle in r2)
     "bm25_stemmed_match",
 ]

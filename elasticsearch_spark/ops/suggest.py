@@ -295,3 +295,97 @@ def completion_suggest(
         .orderBy(F.col("df").desc(), F.col("completion").asc())
         .limit(size)
     )
+
+
+def build_completion_entries(
+    docs: DataFrame,
+    input_col,
+    weight_col,
+    output_col=None,
+    payload_col=None,
+) -> DataFrame:
+    """Normalize documents into completion entries.
+
+    Reference: index/mapper/core/CompletionFieldMapper.java:260-370 — each
+    doc supplies input(s), an optional surface form ("output", defaults to
+    the input), a long weight, and an opaque payload; the field builds a
+    weight-ordered FST over the analyzed inputs.
+
+    Spark shape: entries are ROWS of a (input, output, weight, payload)
+    table — the "FST" is simply this table sorted/pruned by the lookup.
+    Columns may be names or Column expressions. Output defaults to the
+    input's original casing; payload defaults to NULL.
+    """
+    inp = F.col(input_col) if isinstance(input_col, str) else input_col
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    out = (
+        inp
+        if output_col is None
+        else (F.col(output_col) if isinstance(output_col, str) else output_col)
+    )
+    pay = (
+        F.lit(None).cast("string")
+        if payload_col is None
+        else (F.col(payload_col) if isinstance(payload_col, str) else payload_col)
+    )
+    return docs.select(
+        F.lower(inp).alias("input"),
+        out.alias("output"),
+        w.cast("long").alias("weight"),
+        pay.alias("payload"),
+    )
+
+
+def completion_suggest_weighted(
+    entries: DataFrame,
+    prefix: str,
+    size: int = 5,
+    fuzziness: int = 0,
+    prefix_length: int = 1,
+    min_length: int = 3,
+) -> DataFrame:
+    """Weight-ordered completion lookup with optional fuzzy prefix.
+
+    Reference: search/suggest/completion/CompletionSuggester.java (FST
+    walk returns surface forms by weight DESC, deduped) and
+    CompletionSuggestionFuzzyBuilder.java:40-44 (fuzziness defaults ONE,
+    leading `prefix_length` chars exact, prefixes shorter than
+    `min_length` matched exactly — XFuzzySuggester defaults).
+
+    Spark shape: predicate-pruned scan of the entries table — exact mode
+    pushes a `startswith` straight to the parquet scan; fuzzy mode keeps
+    the cheap first-`prefix_length` guard sargable and applies
+    levenshtein() on the prefix-truncated input only to the survivors.
+    Dedup by surface form keeps the max-weight entry; its payload is
+    chosen by lexicographic max over (weight, payload) so weight ties
+    break deterministically — one small aggregation, then a tiny top-k.
+
+    Returns (completion, weight, payload) ordered (weight DESC,
+    completion ASC), ≤ size rows.
+    """
+    p = prefix.lower()
+    if fuzziness <= 0 or len(p) < min_length:
+        cand = entries.where(F.col("input").startswith(p))
+    else:
+        head, rest = p[:prefix_length], p[prefix_length:]
+        cand = entries.where(
+            F.col("input").startswith(head)
+            & (
+                F.levenshtein(
+                    F.substring(F.col("input"), prefix_length + 1, len(rest)),
+                    F.lit(rest),
+                )
+                <= fuzziness
+            )
+        )
+    return (
+        cand.groupBy(F.col("output").alias("completion"))
+        .agg(F.max(F.struct("weight", "payload")).alias("m"))
+        .select(
+            "completion",
+            F.col("m.weight").alias("weight"),
+            F.col("m.payload").alias("payload"),
+        )
+        .orderBy(F.col("weight").desc(), F.col("completion").asc())
+        .limit(size)
+    )
