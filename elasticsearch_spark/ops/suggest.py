@@ -389,3 +389,26 @@ def completion_suggest_weighted(
         .orderBy(F.col("weight").desc(), F.col("completion").asc())
         .limit(size)
     )
+
+
+def write_completion_entries(entries: DataFrame, path: str, n_buckets: int = 8) -> None:
+    """Persist completion entries range-partitioned and sorted by input.
+
+    The reference builds an FST per segment at index time
+    (Completion090PostingsFormat.java); the Spark analog is a parquet
+    table range-partitioned + sorted on the (pre-lowercased) `input`
+    column, so a prefix lookup becomes a min/max row-group-pruned scan
+    with the StartsWith predicate pushed to the reader — no full pass
+    over the dictionary at any scale.
+    """
+    (
+        entries.repartitionByRange(n_buckets, "input")
+        .sortWithinPartitions("input")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_completion_entries(spark, path: str) -> DataFrame:
+    """Open a persisted completion dictionary (see write_completion_entries)."""
+    return spark.read.parquet(path)

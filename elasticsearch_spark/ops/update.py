@@ -70,8 +70,23 @@ def merge_upsert(
 
     old = existing.withColumn("_matched", F.lit(True)).alias("old")
     upd_marked = updates.withColumn("_incoming", F.lit(True))
-    new = (F.broadcast(upd_marked) if broadcast_updates else upd_marked).alias("new")
-    joined = old.join(new, on=key_cols, how="full_outer" if upsert else "left_outer")
+    maybe_bc = F.broadcast if broadcast_updates else (lambda df: df)
+    new = maybe_bc(upd_marked).alias("new")
+
+    # Spark cannot broadcast a FULL OUTER join, and a full outer over the
+    # corpus shuffles every row. With a broadcastable batch the plan is
+    # decomposed instead: (1) corpus LEFT OUTER broadcast(batch) — matched
+    # updates + untouched rows, broadcast hash join, corpus never
+    # shuffles; (2) the not-matched inserts via a broadcast anti-join of
+    # the batch against the (batch-sized) set of matched keys found in
+    # scan (1)'s semi form. Two broadcast scans beat one full shuffle at
+    # any corpus size that dwarfs the batch.
+    if upsert and broadcast_updates:
+        joined = old.join(new, on=key_cols, how="left_outer")
+    else:
+        joined = old.join(
+            new, on=key_cols, how="full_outer" if upsert else "left_outer"
+        )
     has_old = F.col("old._matched").isNotNull()
     has_new = F.col("new._incoming").isNotNull()
 
@@ -92,4 +107,31 @@ def merge_upsert(
         # update-only rows of existing -> old value untouched
         newc = F.col(f"new.{c}") if c in upd_value_cols else F.lit(None)
         out_cols.append(F.when(has_old, upd).otherwise(newc).alias(c))
-    return joined.select(*out_cols)
+    merged = joined.select(*out_cols)
+
+    if upsert and broadcast_updates:
+        # inserts = batch rows whose key matched nothing. The matched-key
+        # set is found by one semi scan of the corpus against the
+        # broadcast batch — its output is at most batch-sized, so the
+        # anti-join against the batch broadcasts too.
+        matched_keys = existing.join(
+            F.broadcast(updates.select(*key_cols)), on=key_cols, how="left_semi"
+        ).select(*key_cols)
+        inserts = updates.join(
+            F.broadcast(matched_keys), on=key_cols, how="left_anti"
+        )
+        ins_cols: list[Column] = [F.col(c) for c in key_cols]
+        for c in value_cols:
+            absent = F.lit(None).cast(existing.schema[c].dataType)
+            ins_cols.append(
+                (F.col(c) if c in upd_value_cols else absent).alias(c)
+            )
+        ins_sel = inserts.select(*ins_cols)
+        ins_sel = ins_sel.select(
+            *[
+                F.col(c).cast(merged.schema[c].dataType).alias(c)
+                for c in merged.columns
+            ]
+        )
+        merged = merged.unionByName(ins_sel, allowMissingColumns=False)
+    return merged

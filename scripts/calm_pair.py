@@ -1,0 +1,115 @@
+"""Capacity-gated scaling pair runner (round 3 protocol).
+
+Round 2 showed the sandbox host's aggregate compute quota collapses on a
+minute scale (8-worker burn throughput swings 7-30 it/s), and pairs run
+during a collapse are bounded by the host, not the engine. This runner
+pre-registers a gate measured BEFORE the engine runs — so the decision
+to run cannot be conditioned on the engine's own result:
+
+1. burn bracket: pinned 2-worker and 8-worker numpy sort burns
+   (memory-bandwidth-heavy, same kernel as r1/r2 brackets).
+2. gate: hardware-expressible efficiency (burn8/burn2/4) >= GATE_EFF
+   and aggregate 8-worker throughput >= GATE_AGG it/s (quota healthy).
+3. if gated in: run 4N=local[8] (taskset 0-7) then N=local[2]
+   (taskset 0-1) on the identical 842k-turn corpus, then a closing
+   burn bracket. 4N runs first to minimize the delay between the gate
+   and the half most sensitive to a quota collapse.
+4. every attempt — including gate skips — is appended to the log.
+
+Usage: python scripts/calm_pair.py <pairs.jsonl> [--build-only]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+GATE_EFF = 0.80
+GATE_AGG = 12.0  # it/s; healthy-quota floor (calm r2 windows: 15-30)
+N_CONVS = 50000  # = 842,336 turns at seed 42
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+BURN = r"""
+import multiprocessing as mp, sys, time
+import numpy as np
+def work(n_iter):
+    a = np.random.default_rng(0).standard_normal(4_000_000)
+    s = 0.0
+    for _ in range(n_iter):
+        s += float(np.sort(a % 1.7).sum())
+    return s
+if __name__ == "__main__":
+    nw = int(sys.argv[1]); n_iter = int(sys.argv[2])
+    t0 = time.perf_counter()
+    with mp.Pool(nw) as p:
+        p.map(work, [n_iter] * nw)
+    print(nw * n_iter / (time.perf_counter() - t0))
+"""
+
+
+def burn(workers: int, cores: str, iters: int = 5) -> float:
+    out = subprocess.run(
+        ["taskset", "-c", cores, sys.executable, "-c", BURN, str(workers), str(iters)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def bracket() -> dict:
+    b2 = burn(2, "0-1")
+    b8 = burn(8, "0-7")
+    return {"burn2": round(b2, 2), "burn8": round(b8, 2),
+            "hw_eff": round(b8 / b2 / 4.0, 3)}
+
+
+def run_half(spec: str, cores: str, out_json: str, build_only: bool) -> dict:
+    env = dict(os.environ)
+    if build_only:
+        env["SPARK_GRAFT_BUILD_ONLY"] = "1"
+    subprocess.run(
+        ["taskset", "-c", cores, sys.executable,
+         os.path.join(HERE, "scaling_report.py"), spec, str(N_CONVS), out_json],
+        env=env,
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    with open(out_json) as f:
+        return json.load(f)
+
+
+def main() -> None:
+    log_path = sys.argv[1]
+    build_only = "--build-only" in sys.argv
+    rec: dict = {"ts": time.strftime("%H:%M:%S"), "pre": bracket()}
+    pre = rec["pre"]
+    if pre["hw_eff"] < GATE_EFF or pre["burn8"] < GATE_AGG:
+        rec["gate"] = "skip"
+    else:
+        rec["gate"] = "run"
+        r8 = run_half("8", "0-7", "/tmp/calm_pair_8.json", build_only)
+        r2 = run_half("2", "0-1", "/tmp/calm_pair_2.json", build_only)
+        rec["post"] = bracket()
+        eff = r8["build_turns_per_sec"] / r2["build_turns_per_sec"] / 4.0
+        rec["pair"] = {
+            "n2_build_sec": r2["build_sec"],
+            "n8_build_sec": r8["build_sec"],
+            "efficiency": round(eff, 3),
+        }
+        for k in ("query_p50_sec", "query_p95_sec", "query_total_sec"):
+            if k in r8:
+                rec["pair"]["n8_" + k] = r8[k]
+                rec["pair"]["n2_" + k] = r2[k]
+    with open(log_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

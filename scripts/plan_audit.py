@@ -144,6 +144,43 @@ def main() -> None:
         must_not=["CartesianProduct"],
     )
 
+    # 8. MERGE-shaped update: small batch broadcast against the corpus —
+    #    one join, no shuffle of the big side, no cartesian
+    u = entry_queries._QUERIES["update_merge_upsert"](spark, sf)
+    check(
+        "update_merge_broadcast",
+        plan_of(u),
+        must=["BroadcastHashJoin"],
+        must_not=["SortMergeJoin", "CartesianProduct"],
+    )
+
+    # 9. weighted completion over the PERSISTED dictionary (input stored
+    #    pre-lowercased, range-sorted): prefix predicate pushed to the
+    #    scan (StringStartsWith), tiny top-k after one small agg
+    docs_parq = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    from elasticsearch_spark.ops.suggest import (
+        build_completion_entries,
+        completion_suggest_weighted,
+        read_completion_entries,
+        write_completion_entries,
+    )
+
+    comp_dir = "/tmp/es_spark_plan_audit_completion"
+    write_completion_entries(
+        build_completion_entries(
+            docs_parq, "source", "n_chars", "source",
+            F.col("doc_id").cast("string"),
+        ),
+        comp_dir,
+    )
+    c = completion_suggest_weighted(read_completion_entries(spark, comp_dir), "src1", size=5)
+    check(
+        "completion_prefix_pushdown",
+        plan_of(c),
+        must=["StringStartsWith", "TakeOrderedAndProject"],
+        must_not=["CartesianProduct"],
+    )
+
     print()
     if FAILS:
         for n, why in FAILS:
