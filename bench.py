@@ -184,6 +184,35 @@ def main() -> None:
         ).collect(),
     )
 
+    # ---- 4. round-3 ops: MERGE-shaped update + weighted completion ----
+    from elasticsearch_spark.ops.suggest import (
+        build_completion_entries,
+        completion_suggest_weighted,
+        read_completion_entries,
+        write_completion_entries,
+    )
+    from elasticsearch_spark.ops.update import merge_upsert
+
+    upd_batch = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.lit("xx").alias("lang")
+    )
+    bench(
+        "update_merge_upsert",
+        lambda: merge_upsert(docs, upd_batch, ["doc_id"]).count(),
+    )
+    comp_dir = os.path.join(WORK_DIR, "completion")
+    write_completion_entries(
+        build_completion_entries(
+            docs, "source", "n_chars", "source", F.col("doc_id").cast("string")
+        ),
+        comp_dir,
+    )
+    comp = read_completion_entries(spark, comp_dir)
+    bench(
+        "suggest_completion_weighted",
+        lambda: completion_suggest_weighted(comp, "src1", size=5).collect(),
+    )
+
     total = time.perf_counter() - t_suite0
     print(
         json.dumps(
