@@ -119,7 +119,26 @@ def main() -> None:
     q_p50 = float(np.percentile(q_secs, 50))
     q_p95 = float(np.percentile(q_secs, 95))
 
-    # ---- 2b. positional operators over the same index ----
+    # ---- 2b. batched _msearch: the SAME query set in ONE job ----
+    # contrast with bm25_query_set above: N x (scheduler + scan) vs
+    # 1 x scheduler + 1 union-term scan with shared per-term decode.
+    from elasticsearch_spark.query.msearch import msearch_topk
+
+    specs = [
+        {
+            "query_text": q["query_text"],
+            "operator": q["operator"],
+            "minimum_should_match": q["minimum_should_match"],
+            "filter_cond": _filters_cond(q["filters"]),
+            "k": q["k"],
+        }
+        for q in reference_query_set()
+    ]
+    t0 = time.perf_counter()
+    n_ms_rows = msearch_topk(reader, specs).count()
+    timings["msearch_query_set"] = round(time.perf_counter() - t0, 3)
+
+    # ---- 2c. positional operators over the same index ----
     from elasticsearch_spark.query import phrase_prefix_topk, phrase_topk
     from elasticsearch_spark.query.spans import span_near_topk
 
@@ -227,6 +246,7 @@ def main() -> None:
                 "build_turns_per_sec": round(turns_per_sec, 1),
                 "build_segments": res.n_segments,
                 "bm25_n_queries": len(q_secs),
+                "msearch_rows": int(n_ms_rows),
                 "bm25_p50_sec": round(q_p50, 4),
                 "bm25_p95_sec": round(q_p95, 4),
             }

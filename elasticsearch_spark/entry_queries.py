@@ -934,6 +934,43 @@ register(
 )
 
 
+# _msearch: a heterogeneous query batch (OR / AND / filtered) in ONE job —
+# one union-term postings scan, shared per-term decode, per-query top-k.
+_MSEARCH_SQL = " UNION ALL ".join(
+    f"SELECT {qi} AS query_id, * FROM ({sql})"
+    for qi, sql in enumerate(
+        [
+            bm25_topk_sql(["data"], k=10),
+            bm25_topk_sql(["query", "fast", "merge"], k=10),
+            bm25_topk_sql(["data", "query"], k=10, need=2),
+            bm25_topk_sql(["merge"], k=10, filter_sql="lang = 'en'"),
+        ]
+    )
+)
+
+
+def _msearch_query(spark, sf):
+    from elasticsearch_spark.query.msearch import msearch_topk
+
+    reader = _indexed_reader(spark, sf)
+    out = msearch_topk(
+        reader,
+        [
+            {"query_text": "data"},
+            {"query_text": "query fast merge"},
+            {"query_text": "data query", "operator": "and"},
+            {"query_text": "merge", "filter_cond": filters.term("lang", "en")},
+        ],
+        k=10,
+    )
+    return out.withColumn("score", F.round("score", 4)).orderBy(
+        "query_id", F.col("score").desc(), F.col("doc_id").asc()
+    )
+
+
+register("msearch_set", _MSEARCH_SQL)(_msearch_query)
+
+
 # --------------------------------------------------------------------------
 # Filters (SURVEY.md §2.2) — term/terms/range/prefix/wildcard/regexp/
 # exists/missing/ids/bool
@@ -1945,6 +1982,8 @@ _DRIVER_PRIORITY = [
     "update_merge_upsert",
     # oracle newly closed this round (was no_oracle in r2)
     "bm25_stemmed_match",
+    # new in r3: batched multi-search (one job for a heterogeneous query set)
+    "msearch_set",
 ]
 
 

@@ -181,6 +181,30 @@ def main() -> None:
         must_not=["CartesianProduct"],
     )
 
+    # 10. msearch batch: ONE term-pruned postings scan (union of all
+    #     queries' terms) feeding the cogrouped multi-query kernel —
+    #     no per-query scan, no cartesian
+    from elasticsearch_spark.query.msearch import _msearch_candidates
+
+    ms_cand, _ = _msearch_candidates(
+        reader,
+        [
+            {"query_text": "data"},
+            {"query_text": "query merge", "operator": "and"},
+        ],
+        k=10,
+    )
+    ms_plan = plan_of(ms_cand)
+    check(
+        "msearch_one_scan",
+        ms_plan,
+        must=["FlatMapCoGroupsInPandas", "PushedFilters: [In(term"],
+        must_not=["CartesianProduct"],
+    )
+    if ms_plan.count("PushedFilters: [In(term") > 1:
+        FAILS.append(("msearch_one_scan", "more than one postings scan"))
+        print("FAIL  msearch_one_scan (duplicate postings scans)")
+
     print()
     if FAILS:
         for n, why in FAILS:
