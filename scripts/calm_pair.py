@@ -28,8 +28,13 @@ import subprocess
 import sys
 import time
 
-GATE_EFF = 0.80
-GATE_AGG = 12.0  # it/s; healthy-quota floor (calm r2 windows: 15-30)
+GATE_EFF = float(os.environ.get("PAIR_GATE_EFF", "0.80"))
+# it/s; healthy-quota floor (calm r2 windows: 15-30). Days exist where the
+# quota sits uniformly ~5-10x lower while the 2->8 RATIO stays >= 0.8 — the
+# ratio is what cancels in the efficiency metric, so the floor is
+# overridable (PAIR_GATE_AGG) to "enough cores to finish", with the pre AND
+# post ratio brackets still required for a pair to count as calm.
+GATE_AGG = float(os.environ.get("PAIR_GATE_AGG", "12.0"))
 N_CONVS = 50000  # = 842,336 turns at seed 42
 HERE = os.path.dirname(os.path.abspath(__file__))
 
