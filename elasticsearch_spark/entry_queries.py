@@ -19,6 +19,7 @@ from elasticsearch_spark.ops import aggs, filters, functionscore, joins, sort
 from elasticsearch_spark.oracle.sqlgen import (
     _field_score_cte,
     _ranges_cte,
+    bm25_explain_sql,
     bm25_phrase_sql,
     common_terms_sql,
     bm25_topk_sql,
@@ -969,6 +970,36 @@ def _msearch_query(spark, sf):
 
 
 register("msearch_set", _MSEARCH_SQL)(_msearch_query)
+
+
+# _explain: per-term score breakdown for the top-1 hit — the Explanation
+# tree (idf * tfn per matched term) as relational rows.
+def _explain_query(spark, sf):
+    from elasticsearch_spark.query.explain import explain_online
+
+    docs = _t(spark, sf, "documents")
+    top1 = _online(spark, sf, "data query", k=1).collect()
+    out = explain_online(
+        spark,
+        docs,
+        "data query",
+        key_cols=["doc_id"],
+        doc_cond=F.col("doc_id") == top1[0]["doc_id"],
+        analyzer=SIMPLE,
+        bm25=BM25,
+    )
+    return out.select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round("idf", 6).alias("idf"),
+        F.round("tfn", 6).alias("tfn"),
+        F.round("contribution", 6).alias("contribution"),
+    ).orderBy("term")
+
+
+register("explain_score", bm25_explain_sql(["data", "query"]))(_explain_query)
 
 
 # --------------------------------------------------------------------------
@@ -1984,6 +2015,8 @@ _DRIVER_PRIORITY = [
     "bm25_stemmed_match",
     # new in r3: batched multi-search (one job for a heterogeneous query set)
     "msearch_set",
+    # new in r3: _explain score-breakdown API
+    "explain_score",
 ]
 
 

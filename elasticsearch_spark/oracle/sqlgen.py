@@ -93,6 +93,75 @@ LIMIT {k}
 """.strip()
 
 
+def bm25_explain_sql(
+    terms: Sequence[str],
+    table: str = "documents",
+    key: str = "doc_id",
+    text_col: str = "text",
+    need: int = 1,
+    k1: float = 1.2,
+    b: float = 0.75,
+    quantize: bool = True,
+    decimals: int = 6,
+) -> str:
+    """DuckDB mirror of the _explain API over the top-1 hit: one row per
+    matched query term of the best-scoring doc — (key, term, tf, df, idf,
+    tfn, contribution). Selection ties broken like the query path
+    (round(score,4) DESC, key ASC)."""
+    terms_sql = ",".join("'" + t.replace("'", "''") + "'" for t in terms)
+    if quantize:
+        ranges = _ranges_cte() + ","
+        dle = (
+            f"dle AS (SELECT dl.{key}, COALESCE(r.dl_eff, 0.0) AS dl_eff "
+            f"FROM dl LEFT JOIN ranges r ON dl.doc_len BETWEEN r.lo AND r.hi),"
+        )
+    else:
+        ranges = ""
+        dle = f"dle AS (SELECT {key}, CAST(doc_len AS DOUBLE) AS dl_eff FROM dl),"
+    return f"""
+WITH toks AS (
+  SELECT {key}, regexp_extract_all(lower({text_col}), '{SIMPLE_TOKEN_SQL}') AS t
+  FROM {table}
+),
+dl AS (SELECT {key}, len(t) AS doc_len FROM toks),
+{ranges}
+{dle}
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+hits AS (
+  SELECT {key}, term, count(*) AS tf
+  FROM (SELECT {key}, unnest(t) AS term FROM toks)
+  WHERE term IN ({terms_sql})
+  GROUP BY {key}, term
+),
+tstats AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+scored AS (
+  SELECT h.{key}, h.term, h.tf, ts.df,
+         ln(1.0 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5)) AS idf,
+         (h.tf * {k1 + 1.0})
+           / (h.tf + {k1} * (1.0 - {b} + {b} * e.dl_eff / s.avgdl)) AS tfn
+  FROM hits h
+  JOIN tstats ts USING (term)
+  JOIN dle e USING ({key})
+  CROSS JOIN stats s
+),
+perdoc AS (
+  SELECT {key}, sum(idf * tfn) AS raw, count(*) AS nt FROM scored GROUP BY {key}
+),
+top1 AS (
+  SELECT {key} FROM perdoc WHERE nt >= {need}
+  ORDER BY round(raw, 4) DESC, {key} ASC LIMIT 1
+)
+SELECT s.{key} AS {key}, s.term AS term, s.tf AS tf, s.df AS df,
+       round(s.idf, {decimals}) AS idf, round(s.tfn, {decimals}) AS tfn,
+       round(s.idf * s.tfn, {decimals}) AS contribution
+FROM scored s JOIN top1 USING ({key})
+ORDER BY s.term ASC
+""".strip()
+
+
 def _field_score_cte(
     alias: str,
     terms_sql: str,

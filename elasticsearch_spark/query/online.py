@@ -44,19 +44,20 @@ def _dl_eff_col(spark: SparkSession, df: DataFrame, quantize: bool) -> DataFrame
     return joined.withColumn("dl_eff", F.coalesce(F.col("dl_eff"), F.lit(0.0)))
 
 
-def _bm25_scores(
+def _term_scores(
     spark: SparkSession,
     df: DataFrame,
     uniq_terms: list[str],
     mult: dict[str, int],
-    need: int,
     key_cols: Sequence[str],
     text_col: str,
     analyzer: AnalyzerConfig,
     bm25: BM25Params,
 ) -> DataFrame:
-    """(keys..., score) for every doc matching ≥ need of uniq_terms — the
-    shared scoring core of match / multi_match / fuzzy online queries."""
+    """Per-(doc, term) BM25 components for every doc containing any of
+    uniq_terms: (keys..., term, tf, df, idf, tfn, term_score). The shared
+    core of match scoring and the _explain API (which exposes these rows
+    verbatim as the Explanation detail tree)."""
     keys = list(key_cols)
     toks = df.select(*keys, tokenize_column(text_col, analyzer).alias("toks"))
     docs = toks.withColumn("doc_len", F.size("toks"))
@@ -91,16 +92,35 @@ def _bm25_scores(
             ),
         )
         .withColumn(
-            "term_score",
-            F.col("mult")
-            * F.col("idf")
-            * (F.col("tf") * (bm25.k1 + 1.0))
+            "tfn",
+            (F.col("tf") * (bm25.k1 + 1.0))
             / (
                 F.col("tf")
                 + bm25.k1
                 * (1.0 - bm25.b + bm25.b * F.col("dl_eff") / F.col("avgdl"))
             ),
         )
+        .withColumn("term_score", F.col("mult") * F.col("idf") * F.col("tfn"))
+    )
+    return scored
+
+
+def _bm25_scores(
+    spark: SparkSession,
+    df: DataFrame,
+    uniq_terms: list[str],
+    mult: dict[str, int],
+    need: int,
+    key_cols: Sequence[str],
+    text_col: str,
+    analyzer: AnalyzerConfig,
+    bm25: BM25Params,
+) -> DataFrame:
+    """(keys..., score) for every doc matching ≥ need of uniq_terms — the
+    shared scoring core of match / multi_match / fuzzy online queries."""
+    keys = list(key_cols)
+    scored = _term_scores(
+        spark, df, uniq_terms, mult, key_cols, text_col, analyzer, bm25
     )
     per_doc = scored.groupBy(*keys).agg(
         F.sum("term_score").alias("score"),

@@ -66,11 +66,22 @@ def burn(workers: int, cores: str, iters: int = 5) -> float:
     return float(out.stdout.strip().splitlines()[-1])
 
 
+# N vs 4N pairing, selectable so 4N can be chosen to FIT INSIDE the host's
+# measured aggregate quota (when 4N exceeds the quota the pair measures the
+# quota, not the engine — observed directly: calm-bracketed 2->8 pairs cap
+# at ~0.54 on days the quota sits near ~4-5 effective cores, while the
+# N=2 half's times stay normal).
+LO = int(os.environ.get("PAIR_LO", "2"))
+HI = 4 * LO
+LO_CORES = f"0-{LO - 1}" if LO > 1 else "0"
+HI_CORES = f"0-{HI - 1}"
+
+
 def bracket() -> dict:
-    b2 = burn(2, "0-1")
-    b8 = burn(8, "0-7")
-    return {"burn2": round(b2, 2), "burn8": round(b8, 2),
-            "hw_eff": round(b8 / b2 / 4.0, 3)}
+    blo = burn(LO, LO_CORES)
+    bhi = burn(HI, HI_CORES)
+    return {"burn_lo": round(blo, 2), "burn_hi": round(bhi, 2),
+            "hw_eff": round(bhi / blo / 4.0, 3)}
 
 
 def run_half(spec: str, cores: str, out_json: str, build_only: bool) -> dict:
@@ -92,25 +103,27 @@ def run_half(spec: str, cores: str, out_json: str, build_only: bool) -> dict:
 def main() -> None:
     log_path = sys.argv[1]
     build_only = "--build-only" in sys.argv
-    rec: dict = {"ts": time.strftime("%H:%M:%S"), "pre": bracket()}
+    rec: dict = {"ts": time.strftime("%H:%M:%S"), "lo": LO, "hi": HI,
+                 "pre": bracket()}
     pre = rec["pre"]
-    if pre["hw_eff"] < GATE_EFF or pre["burn8"] < GATE_AGG:
+    if pre["hw_eff"] < GATE_EFF or pre["burn_hi"] < GATE_AGG:
         rec["gate"] = "skip"
     else:
         rec["gate"] = "run"
-        r8 = run_half("8", "0-7", "/tmp/calm_pair_8.json", build_only)
-        r2 = run_half("2", "0-1", "/tmp/calm_pair_2.json", build_only)
+        rhi = run_half(str(HI), HI_CORES, "/tmp/calm_pair_hi.json", build_only)
+        rlo = run_half(str(LO), LO_CORES, "/tmp/calm_pair_lo.json", build_only)
         rec["post"] = bracket()
-        eff = r8["build_turns_per_sec"] / r2["build_turns_per_sec"] / 4.0
+        eff = rhi["build_turns_per_sec"] / rlo["build_turns_per_sec"] / 4.0
         rec["pair"] = {
-            "n2_build_sec": r2["build_sec"],
-            "n8_build_sec": r8["build_sec"],
+            "lo_build_sec": rlo["build_sec"],
+            "hi_build_sec": rhi["build_sec"],
             "efficiency": round(eff, 3),
         }
-        for k in ("query_p50_sec", "query_p95_sec", "query_total_sec"):
-            if k in r8:
-                rec["pair"]["n8_" + k] = r8[k]
-                rec["pair"]["n2_" + k] = r2[k]
+        for k in ("query_p50_sec", "query_p95_sec", "query_total_sec",
+                  "msearch_total_sec", "msearch_qps"):
+            if k in rhi:
+                rec["pair"]["hi_" + k] = rhi[k]
+                rec["pair"]["lo_" + k] = rlo[k]
     with open(log_path, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec))

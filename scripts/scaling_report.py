@@ -99,6 +99,27 @@ def main() -> None:
         ).collect()
         secs.append(time.perf_counter() - t0)
 
+    # batched _msearch of the SAME query set — ONE job; the structural
+    # answer to the per-job scheduling constant that pins sequential
+    # distributed-mode latency regardless of cores
+    from elasticsearch_spark.query.msearch import msearch_topk
+
+    specs = [
+        {
+            "query_text": q["query_text"],
+            "operator": q["operator"],
+            "minimum_should_match": q["minimum_should_match"],
+            "k": q["k"],
+        }
+        for q in qset
+    ]
+    t0 = time.perf_counter()
+    msearch_topk(reader, specs).count()
+    ms1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    msearch_topk(reader, specs).count()
+    ms2 = time.perf_counter() - t0
+
     result = {
         "spec": spec,
         "master": master or f"local[{cores}]",
@@ -112,6 +133,8 @@ def main() -> None:
         "query_qps": round(len(secs) / float(np.sum(secs)), 2),
         "query_p50_sec": round(float(np.percentile(secs, 50)), 4),
         "query_p95_sec": round(float(np.percentile(secs, 95)), 4),
+        "msearch_total_sec": round(min(ms1, ms2), 2),
+        "msearch_qps": round(len(specs) / min(ms1, ms2), 2),
     }
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
