@@ -738,46 +738,199 @@ register("bm25_stemmed_match")(  # oracle generated lazily by PyRef below
     .orderBy(F.col("score").desc(), F.col("doc_id").asc())
 )
 
-_STEMMED_ORACLE_CACHE: dict[str, str] = {}
+# --------------------------------------------------------------------------
+# VALUES oracles — operators DuckDB cannot express (no porter stemmer, no
+# xxhash64, no codecs). The expected rows are emitted at oracle_sql() time
+# by the INDEPENDENT pure-Python mirror (oracle/pymirror.py: its own
+# xxHash64/porter/byte315/tokenizers, re-derived from the published specs —
+# zero code shared with the engine) as literal VALUES tables.
+#
+# The driver's correctness gate runs oracles at sf0.01 (its contract); a
+# different scale can be selected with SPARK_GRAFT_ORACLE_SF_DIR so the
+# oracle is always derived from the fixture actually under test
+# (scripts/verify_oracles.py sets it from its sf_dir argument). Builders
+# return None when the fixture is absent -> entry falls back to rows-only.
+# --------------------------------------------------------------------------
+
+_VALUES_CACHE: dict[tuple[str, str], str] = {}
 
 
-def _stemmed_values_oracle() -> str | None:
-    """DuckDB has no porter stemmer, so the `bm25_stemmed_match` oracle is
-    emitted by the independent PyRef engine (`oracle/pyref.py`, pure-Python
-    BM25 with the same published 1980 porter algorithm implemented
-    separately in `analysis/filters.py`) as a literal VALUES table.
+def _oracle_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
-    The driver's correctness gate always runs oracles at sf0.01, so the
-    expected rows are derived from that fixture; returns None (entry
-    omitted -> rows-only check) if the fixture is absent.
-    """
-    if "sql" in _STEMMED_ORACLE_CACHE:
-        return _STEMMED_ORACLE_CACHE["sql"] or None
-    path = "/root/testdata/sf0.01/documents.parquet"
+
+def _values_sql(rows: list[tuple[str, ...]], cols: list[str]) -> str | None:
+    if not rows:
+        return None
+    body = ", ".join("(" + ", ".join(r) + ")" for r in rows)
+    names = ", ".join(cols)
+    return f"SELECT {names} FROM (VALUES {body}) AS t({names})"
+
+
+def _mirror_docs(with_planted: bool = False, max_key: int | None = None):
+    """(doc_id, text) pairs from the oracle-sf fixture, or None if absent."""
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
     if not os.path.exists(path):
-        _STEMMED_ORACLE_CACHE["sql"] = ""
         return None
     import pandas as pd
 
-    from elasticsearch_spark.oracle.pyref import PyRefEngine
+    df = pd.read_parquet(path, columns=["doc_id", "text"])
+    if max_key is not None:
+        df = df[df["doc_id"] < max_key]
+    docs = [(int(r.doc_id), r.text) for r in df.itertuples(index=False)]
+    if with_planted:
+        docs += [(k + 1000000, t) for k, t in docs if k % 37 == 0]
+    return docs
 
-    eng = PyRefEngine(
-        analyzer=AnalyzerConfig(kind="simple", token_filters=("porter_stem",)),
-        bm25=BM25,
+
+def _mirror_embeddings(with_planted: bool = False):
+    path = os.path.join(_oracle_sf_dir(), "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import pandas as pd
+
+    df = pd.read_parquet(path, columns=["vec_id", "embedding"])
+    embs = [(int(r.vec_id), r.embedding) for r in df.itertuples(index=False)]
+    if with_planted:
+        embs += [(k + 1000000, v) for k, v in embs if k % 53 == 0]
+    return embs
+
+
+def _stemmed_values_oracle() -> str | None:
+    """bm25_stemmed_match expected rows from the mirror's own simple
+    tokenizer + Porter 1980 stemmer + byte315 BM25 (nothing imported from
+    the engine's analysis chain — per round-3 advice, analysis-stage bugs
+    are now cross-checked, not shared)."""
+    from elasticsearch_spark.oracle import pymirror
+
+    docs = _mirror_docs()
+    if not docs:
+        return None
+    hits = pymirror.bm25_topk_mirror(docs, "merges grouping", k=10, stem=True)
+    return _values_sql(
+        [(str(k), f"{pymirror.spark_round(s, 4):.4f}") for k, s in hits],
+        ["doc_id", "score"],
     )
-    for r in pd.read_parquet(path, columns=["doc_id", "text"]).itertuples(
-        index=False
-    ):
-        eng.index(int(r.doc_id), r.text)
-    hits = eng.match("merges grouping", k=10)
-    vals = ", ".join(f"({key}, {round(s, 4):.4f})" for key, s in hits)
-    sql = (
-        f"SELECT doc_id, score FROM (VALUES {vals}) AS t(doc_id, score)"
-        if hits
-        else ""
+
+
+def _minhash_values_oracle() -> str | None:
+    from elasticsearch_spark.oracle import pymirror
+
+    docs = _mirror_docs(with_planted=True)
+    if not docs:
+        return None
+    keep = pymirror.minhash_keep_keys(docs, threshold=0.8)
+    return _values_sql([(str(k),) for k in keep], ["doc_id"])
+
+
+def _simhash_values_oracle() -> str | None:
+    from elasticsearch_spark.oracle import pymirror
+
+    docs = _mirror_docs(with_planted=True)
+    if not docs:
+        return None
+    pairs = pymirror.simhash_pairs(docs, hamming_radius=3)
+    return _values_sql(
+        [(str(a), str(b), str(h)) for a, b, h in pairs],
+        ["key_a", "key_b", "hamming"],
     )
-    _STEMMED_ORACLE_CACHE["sql"] = sql
-    return sql or None
+
+
+def _embcos_values_oracle() -> str | None:
+    from elasticsearch_spark.oracle import pymirror
+
+    embs = _mirror_embeddings(with_planted=True)
+    if not embs:
+        return None
+    pairs = pymirror.embedding_cosine_pairs(embs, threshold=0.95)
+    return _values_sql(
+        [(str(a), str(b), f"{c:.4f}") for a, b, c in pairs],
+        ["key_a", "key_b", "cosine"],
+    )
+
+
+def _ivf_values_oracle() -> str | None:
+    from elasticsearch_spark.oracle import pymirror
+
+    embs = _mirror_embeddings()
+    if not embs:
+        return None
+    q = dict(embs).get(7)
+    if q is None:
+        return None
+    qvec = [float(x) for x in q]
+    hits = pymirror.ivf_topk_mirror(embs, qvec, k=10, bits=6, probe_hamming=2)
+    return _values_sql(
+        [(str(k), f"{c:.4f}") for k, c in hits], ["vec_id", "cosine"]
+    )
+
+
+def _mm_features_values_oracle() -> str | None:
+    from elasticsearch_spark.oracle import pymirror
+
+    docs = _mirror_docs(max_key=120)
+    if not docs:
+        return None
+    rows = [
+        (str(k), f"'{pymirror.media_kind(k)}'", str(pymirror.media_n_bytes(k, t)))
+        for k, t in docs
+    ]
+    return _values_sql(rows, ["key", "media_type", "n_bytes"])
+
+
+def _mm_image_values_oracle() -> str | None:
+    from elasticsearch_spark.oracle import pymirror
+
+    docs = _mirror_docs(max_key=120)
+    if not docs:
+        return None
+    rows = []
+    for k, _ in docs:
+        if k % 3 != 0:
+            continue
+        key, w, h, mean_r = pymirror.image_stats(k)
+        rows.append((str(key), str(w), str(h), f"{mean_r:.4f}"))
+    return _values_sql(rows, ["key", "width", "height", "mean_r"])
+
+
+def _mm_audio_values_oracle() -> str | None:
+    from elasticsearch_spark.oracle import pymirror
+
+    docs = _mirror_docs(max_key=120)
+    if not docs:
+        return None
+    rows = []
+    for k, _ in docs:
+        if k % 3 != 1:
+            continue
+        key, n, rate, rms, peak = pymirror.audio_stats(k)
+        rows.append((str(key), str(n), str(rate), f"{rms:.4f}", f"{peak:.4f}"))
+    return _values_sql(
+        rows, ["key", "n_samples", "sample_rate", "rms", "peak"]
+    )
+
+
+_LAZY_ORACLES: dict[str, Callable[[], str | None]] = {
+    "bm25_stemmed_match": _stemmed_values_oracle,
+    "dedup_minhash_lsh": _minhash_values_oracle,
+    "dedup_simhash": _simhash_values_oracle,
+    "dedup_embedding_cosine": _embcos_values_oracle,
+    "ann_ivf_topk": _ivf_values_oracle,
+    "ann_ivf_indexed": _ivf_values_oracle,  # same result set by design
+    "multimodal_features": _mm_features_values_oracle,
+    "multimodal_image_decode": _mm_image_values_oracle,
+    "multimodal_audio_decode": _mm_audio_values_oracle,
+}
+
+
+def _lazy_oracle(name: str) -> str | None:
+    key = (name, _oracle_sf_dir())
+    if key not in _VALUES_CACHE:
+        try:
+            _VALUES_CACHE[key] = _LAZY_ORACLES[name]() or ""
+        except Exception:
+            _VALUES_CACHE[key] = ""  # fixture trouble -> rows-only fallback
+    return _VALUES_CACHE[key] or None
 
 
 def _common_terms_query(spark, sf):
@@ -1655,18 +1808,22 @@ register(
     ).select("doc_id")
 )
 
-# minhash / simhash rely on xxhash64 — not reproducible in the SQL oracle;
-# registered without oracle (driver records rows-only check), correctness
-# covered by tests/test_pipeline.py against exact Jaccard.
+# minhash / simhash rely on xxhash64 — not expressible in DuckDB SQL. Their
+# oracles are literal VALUES tables emitted by the independent pure-Python
+# mirror (oracle/pymirror.py: its own xxHash64 from the public spec, its own
+# shingler/banding/verification) — see _pipeline_values_oracle below. Both
+# run over the planted-dup corpus so the drop logic has a nonzero answer.
 register("dedup_minhash_lsh")(
     lambda spark, sf: dedup.minhash_dedup(
-        _t(spark, sf, "documents"), "text", "doc_id", threshold=0.8
+        _docs_with_planted_dups(spark, sf), "text", "doc_id", threshold=0.8
     ).select("doc_id")
 )
 
 register("dedup_simhash")(
     lambda spark, sf: dedup.simhash_near_dups(
-        dedup.simhash_signatures(_t(spark, sf, "documents"), "text", "doc_id"),
+        dedup.simhash_signatures(
+            _docs_with_planted_dups(spark, sf), "text", "doc_id"
+        ),
         hamming_radius=3,
     )
 )
@@ -1719,11 +1876,11 @@ def _embeddings_with_planted_dups(spark, sf):
     )
 
 
-register("dedup_embedding_cosine")(  # hyperplane buckets → rows-only check
+register("dedup_embedding_cosine")(  # VALUES oracle from pymirror (below)
     lambda spark, sf: dedup.embedding_cosine_dups(
         _embeddings_with_planted_dups(spark, sf), "embedding", "vec_id",
         threshold=0.95,
-    )
+    ).select("key_a", "key_b", F.round("cosine", 4).alias("cosine"))
 )
 
 register(
@@ -1744,7 +1901,7 @@ register(
     )
 )
 
-register("ann_ivf_topk")(  # hash-family not in SQL → rows-only check
+register("ann_ivf_topk")(  # VALUES oracle from pymirror (below)
     lambda spark, sf: similarity.ivf_topk(
         _t(spark, sf, "embeddings"),
         "embedding",
@@ -1755,6 +1912,7 @@ register("ann_ivf_topk")(  # hash-family not in SQL → rows-only check
         k=10,
         bits=6,
         probe_hamming=2,
+        decimals=4,
     )
 )
 
@@ -1780,7 +1938,7 @@ def _ivf_indexed_query(spark, sf):
     )
     return similarity.ivf_topk_indexed(
         spark, _IVF_CACHE[key], "embedding", "vec_id", q, k=10, bits=6,
-        probe_hamming=2,
+        probe_hamming=2, decimals=4,
     )
 
 
@@ -1859,11 +2017,17 @@ register("text_language_id", _LANG_ID_SQL)(
 def _media(spark, sf):
     from elasticsearch_spark.pipeline import multimodal as mm
 
+    # deterministic key predicate (not .limit — limit's row choice is
+    # partition-order-dependent; the VALUES oracle needs a stable key set)
     return mm.synthesize_media(
-        _t(spark, sf, "documents").limit(120), "doc_id", "text"
+        _t(spark, sf, "documents").where(F.col("doc_id") < 120),
+        "doc_id",
+        "text",
     )
 
 
+# oracles: VALUES tables from pymirror — analytic payload sizes, independent
+# PPM/RIFF parsers (no `wave` module on the oracle side)
 register("multimodal_features")(  # ppm/wav decode real; codec formats stubbed
     lambda spark, sf: __import__(
         "elasticsearch_spark.pipeline.multimodal", fromlist=["x"]
@@ -1871,17 +2035,29 @@ register("multimodal_features")(  # ppm/wav decode real; codec formats stubbed
     .select("key", "media_type", "n_bytes")
 )
 
-register("multimodal_image_decode")(  # numpy PPM decode + thumbnail — rows-only
+register("multimodal_image_decode")(  # numpy PPM decode + thumbnail
     lambda spark, sf: __import__(
         "elasticsearch_spark.pipeline.multimodal", fromlist=["x"]
     ).decode_images(_media(spark, sf), thumb=4)
-    .select("key", "width", "height", "mean_r")
+    .select(
+        "key",
+        "width",
+        "height",
+        F.round(F.col("mean_r").cast("double"), 4).alias("mean_r"),
+    )
 )
 
 register("multimodal_audio_decode")(  # stdlib WAV decode + sample stats
     lambda spark, sf: __import__(
         "elasticsearch_spark.pipeline.multimodal", fromlist=["x"]
     ).decode_audio(_media(spark, sf))
+    .select(
+        "key",
+        "n_samples",
+        "sample_rate",
+        F.round(F.col("rms").cast("double"), 4).alias("rms"),
+        F.round(F.col("peak").cast("double"), 4).alias("peak"),
+    )
 )
 
 
@@ -2032,9 +2208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     oracles = dict(_ORACLES)
-    if "bm25_stemmed_match" not in oracles:
-        stemmed = _stemmed_values_oracle()
-        if stemmed:
-            oracles["bm25_stemmed_match"] = stemmed
+    for name in _LAZY_ORACLES:
+        if name not in oracles:
+            sql = _lazy_oracle(name)
+            if sql:
+                oracles[name] = sql
     order = _ordered(list(_QUERIES))
     return {k: oracles[k] for k in order if k in oracles}

@@ -104,6 +104,7 @@ def ivf_topk(
     k: int = 10,
     bits: int = 6,
     probe_hamming: int = 1,
+    decimals: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose hyperplane cell is within
     `probe_hamming` bit flips of the query's cell (multi-probe LSH).
@@ -115,7 +116,9 @@ def ivf_topk(
     pruned = emb.withColumn("__cell", hyperplane_cell(vec_col, bits)).where(
         F.col("__cell").isin(cells)
     )
-    return cosine_topk(pruned.drop("__cell"), vec_col, key_col, query_vec, k)
+    return cosine_topk(
+        pruned.drop("__cell"), vec_col, key_col, query_vec, k, decimals
+    )
 
 
 def write_ivf(
@@ -143,10 +146,13 @@ def ivf_topk_indexed(
     k: int = 10,
     bits: int = 6,
     probe_hamming: int = 1,
+    decimals: int | None = None,
 ) -> DataFrame:
     """Approximate top-k over a ``write_ivf`` layout with partition pruning
     (``cell IN (probes)`` hits only those hive partitions — verify with
     .explain: PartitionFilters carries the IN list)."""
     cells = probe_cells(spark, vec_col, query_vec, bits, probe_hamming)
     pruned = spark.read.parquet(ivf_dir).where(F.col("cell").isin(cells))
-    return cosine_topk(pruned.drop("cell"), vec_col, key_col, query_vec, k)
+    return cosine_topk(
+        pruned.drop("cell"), vec_col, key_col, query_vec, k, decimals
+    )

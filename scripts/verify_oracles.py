@@ -46,6 +46,8 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
+    # VALUES oracles (pymirror) must be derived from the fixture under test
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
     spark = get_spark(cores=8, shuffle_partitions=8, app_name="verify_oracles")
     spark.sparkContext.setLogLevel("ERROR")
 
