@@ -246,17 +246,21 @@ def significant_terms(
         N01 = fg_total - fg_count N00 = N0_ - N01      N = bg_total
 
     - jlh  (JLHScore.java:64-101): (fg% - bg%) · (fg% / bg%), 0 when the
-      absolute change ≤ 0 (those rows are dropped).
+      absolute change ≤ 0 (the bucket is scored 0, NOT dropped — it can
+      still be returned when fewer than ``size`` buckets outrank it).
     - chi_square (ChiSquare.java:70-80): N·(N11·N00 - N01·N10)² /
-      (N_1·N1_·N0_·N_0); include_negatives=false drops buckets where
-      N11/N_1 < N10/N_0.
+      (N_1·N1_·N0_·N_0); include_negatives=false scores buckets where
+      N11/N_1 < N10/N_0 as -Infinity (returned only to fill ``size``).
     - mutual_information (MutualInformation.java:73-113): Σ MI terms /
       ln 2, each term (Nxy/N)·ln(N·Nxy/(Nx_·N_y)) with the 0·log 0 = 0
-      guard; same negative-direction drop.
+      guard; NaN and the negative direction both map to -Infinity.
     - gnd (GND.java:75-96): exp(-(max(ln fx, ln fy) - ln fxy) /
       (ln N - min(ln fx, ln fy))) over fx=N1_, fy=N_1, fxy=N11; 0 on no
       co-occurrence, 1 on perfect co-occurrence.
-    """
+
+    Division edges follow Java double semantics (x/0 = ±Inf, 0/0 = NaN —
+    Spark SQL's double division yields NULL instead, so the zero-divisor
+    branches are spelled out; see round-3 advice)."""
     tot = df.agg(
         F.count(F.lit(1)).alias("bg_total"),
         F.sum(F.when(foreground, 1).otherwise(0)).alias("fg_total"),
@@ -278,46 +282,67 @@ def significant_terms(
     n0_ = n - n1_
     n01 = n_1 - n11
     n00 = n0_ - n01
-    keep = None  # extra row filter beyond sig_score (include_negatives=false)
+    neg_inf = F.lit(float("-inf"))
+
+    def jdiv(num, den):
+        """Java double division: x/0 = ±Inf, 0/0 = NaN (Spark gives NULL)."""
+        return F.when(den != 0, num / den).otherwise(
+            F.when(num > 0, F.lit(float("inf")))
+            .when(num < 0, neg_inf)
+            .otherwise(F.lit(float("nan")))
+        )
+
+    # include_negatives=false: term rarer in the foreground than in the
+    # rest of the background -> -Infinity (Java comparisons with NaN are
+    # false, so both sides are NaN-guarded)
+    lhs, rhs = jdiv(n11, n_1), jdiv(n10, n_0)
+    negative_dir = (~F.isnan(lhs)) & (~F.isnan(rhs)) & (lhs < rhs)
     if heuristic == "jlh":
         fg_pct, bg_pct = n11 / n_1, n1_ / n
-        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
-        keep = score > 0
-    elif heuristic == "chi_square":
-        score = (
-            n * F.pow(n11 * n00 - n01 * n10, 2.0) / (n_1 * n1_ * n0_ * n_0)
+        score = F.when((n_1 == 0) | (n == 0), F.lit(0.0)).otherwise(
+            F.when(fg_pct - bg_pct <= 0, F.lit(0.0)).otherwise(
+                (fg_pct - bg_pct) * (fg_pct / bg_pct)
+            )
         )
-        keep = (n11 / n_1) >= (n10 / n_0)
+    elif heuristic == "chi_square":
+        num = n * F.pow(n11 * n00 - n01 * n10, 2.0)
+        score = F.when(negative_dir, neg_inf).otherwise(
+            jdiv(num, n_1 * n1_ * n0_ * n_0)
+        )
     elif heuristic == "mutual_information":
         def mi_term(nxy, nx_, n_y):
+            # reference guard (numerator<1e-7 && factor<1e-7) == nxy == 0
+            # for integral counts; nxy>0 implies nx_>0 and n_y>0
             return F.when(nxy <= 0, F.lit(0.0)).otherwise(
                 (nxy / n) * F.log((n * nxy) / (nx_ * n_y))
             )
 
-        score = (
+        raw = (
             mi_term(n00, n0_, n_0)
             + mi_term(n01, n0_, n_1)
             + mi_term(n10, n1_, n_0)
             + mi_term(n11, n1_, n_1)
         ) / math.log(2.0)
-        keep = (n11 / n_1) >= (n10 / n_0)
+        score = F.when(
+            negative_dir | F.isnan(raw) | raw.isNull(), neg_inf
+        ).otherwise(raw)
     elif heuristic == "gnd":
         fx, fy, fxy = n1_, n_1, n11
+        den = F.log(n) - F.least(F.log(fx), F.log(fy))
         score = (
             F.when(fxy == 0, F.lit(0.0))
             .when((fx == fy) & (fx == fxy), F.lit(1.0))
+            # fx==N or fy==N: exp(-(positive)/0) = exp(-Inf) = 0 in Java
+            .when(den == 0, F.lit(0.0))
             .otherwise(
                 F.exp(
-                    -(F.greatest(F.log(fx), F.log(fy)) - F.log(fxy))
-                    / (F.log(n) - F.least(F.log(fx), F.log(fy)))
+                    -(F.greatest(F.log(fx), F.log(fy)) - F.log(fxy)) / den
                 )
             )
         )
     else:
         raise ValueError(f"unknown heuristic {heuristic}")
     out = j.withColumn("sig_score", score)
-    if keep is not None:
-        out = out.where(keep)
     return (
         out.orderBy(F.col("sig_score").desc(), F.col(col).asc())
         .limit(size)

@@ -156,3 +156,51 @@ def ttl_live(ts_col: str, now, ttl_seconds: int) -> Column:
 def ttl_expired(ts_col: str, now, ttl_seconds: int) -> Column:
     """Complement of ttl_live — the purge set."""
     return ~ttl_live(ts_col, now, ttl_seconds)
+
+
+def ttl_expiry_plan(
+    df: DataFrame,
+    ts_col: str,
+    now,
+    ttl_seconds: int,
+    bucket: str = "day",
+) -> DataFrame:
+    """Per-time-partition TTL expiry plan — the purge job's first pass
+    (indices/ttl/IndicesTTLService.java runs a periodic purge; at table
+    scale purging is a partition-layout operation, not per-doc deletes).
+
+    Classifies each ``bucket`` (the table's time-partition grain) as:
+      drop    — every row expired: a metadata-only partition delete,
+      keep    — every row live: untouched, no IO,
+      rewrite — boundary partition: rewrite only this one, keeping live rows.
+
+    At 100 TB a 10-day TTL over day partitions touches ONE rewrite
+    partition per run; everything else is metadata (drop) or skipped
+    (keep) — the scan below is a single map-side groupBy on the partition
+    key, no shuffle wider than the partition count."""
+    live = ttl_live(ts_col, now, ttl_seconds)
+    return (
+        df.groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.sum(F.when(live, 1).otherwise(0)).alias("live_rows"),
+            F.count(F.lit(1)).alias("total_rows"),
+        )
+        .withColumn(
+            "action",
+            F.when(F.col("live_rows") == 0, F.lit("drop"))
+            .when(F.col("live_rows") == F.col("total_rows"), F.lit("keep"))
+            .otherwise(F.lit("rewrite")),
+        )
+        .select("bucket", "action", "live_rows", "total_rows")
+    )
+
+
+def ttl_rebuild(
+    df: DataFrame, ts_col: str, now, ttl_seconds: int, bucket: str = "day"
+) -> DataFrame:
+    """Execute the expiry: rows of 'keep' partitions pass through untouched
+    (no rewrite at the storage layer); 'rewrite' partitions are filtered to
+    live rows; 'drop' partitions vanish. Row-level result == ttl_live
+    filter — the plan split exists so the writer can target only the
+    boundary partitions."""
+    return df.where(ttl_live(ts_col, now, ttl_seconds))

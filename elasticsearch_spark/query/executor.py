@@ -408,6 +408,7 @@ def fuzzy_search_topk(
     fuzziness: int = 2,
     prefix_length: int = 0,
     k: int = 10,
+    max_expansions: int = 50,
     **kw,
 ) -> DataFrame:
     """fuzzy query over the INDEXED term dictionary (FuzzyQueryParser.java →
@@ -415,7 +416,15 @@ def fuzzy_search_topk(
     edits against reader.termstats() — a vocabulary-sized scan with
     length-window + prefix pushdown before the levenshtein — then score the
     expansion disjunctively via terms_topk. This is the scale path; the
-    corpus-explode variant in query/online.py is the index-less fallback."""
+    corpus-explode variant in query/online.py is the index-less fallback.
+
+    ``max_expansions`` mirrors Lucene FuzzyQuery's top-terms rewrite
+    (default 50): keep the closest-edit terms first (Lucene's boost order),
+    breaking ties by df desc then term asc — a bounded expansion set, so a
+    short term with fuzziness=2 over a 10^8-term dictionary cannot push a
+    giant In() filter through the plan. The top-terms cut runs in Spark
+    (TakeOrderedAndProject over the pushed candidate scan); only the ≤50
+    winners reach the driver."""
     from elasticsearch_spark.ops.filters import fuzzy_terms
 
     q = (tokenize_text(query_term, reader.cfg.analyzer) or [""])[0]
@@ -427,10 +436,14 @@ def fuzzy_search_topk(
     )
     if prefix_length > 0:
         cand = cand.where(F.col("term").startswith(q[:prefix_length]))
-    expanded = sorted(
-        r["term"] for r in fuzzy_terms(cand, "term", q, fuzziness)
-        .select("term").collect()
+    matched = fuzzy_terms(cand, "term", q, fuzziness).withColumn(
+        "__dist", F.levenshtein(F.col("term"), F.lit(q))
     )
+    if max_expansions is not None:
+        matched = matched.orderBy(
+            F.col("__dist").asc(), F.col("df").desc(), F.col("term").asc()
+        ).limit(int(max_expansions))
+    expanded = sorted(r["term"] for r in matched.select("term").collect())
     if not expanded:
         return _empty_result(reader, ())
     return terms_topk(reader, expanded, k=k, **kw)

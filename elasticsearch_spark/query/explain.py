@@ -129,8 +129,16 @@ def explain_indexed(
     k1, b, quantize = cfg.bm25.k1, cfg.bm25.b, cfg.bm25.quantize_norms
     avgdl = reader.avgdl
     rows = []
+    # tombstoned docs can never be hits (every scorer masks them), so the
+    # reference's explain reports them as not-found — mirror that here
+    # instead of fabricating a score breakdown for a deleted doc
+    from elasticsearch_spark.index import deletes as _deletes
+
+    any_deletes = _deletes.has_deletes(reader.index_dir)
     for doc_row in loc:
         seg, lid = doc_row["segment_id"], int(doc_row["local_doc_id"])
+        if any_deletes and lid in _deletes.read_deletes(reader.index_dir, seg):
+            continue
         norm = (
             reader.norms()
             .where(F.col("segment_id") == seg)

@@ -30,7 +30,7 @@ from typing import Any, Iterable, Mapping
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from elasticsearch_spark.analysis.analyzers import tokenize_text
@@ -45,11 +45,19 @@ from elasticsearch_spark.query.executor import (
 from elasticsearch_spark.functions.smallfloat import effective_doc_length
 
 
+# driver-gather bound: the kernel emits <= k(+ties) rows per (segment,
+# query), so a big index times a big batch can overwhelm one collect()
+# (the msearch analog of _DRIVER_FETCH_MAX_ROWS in query/executor.py).
+# Past this estimate the per-query top-k cut runs in Spark first.
+_GATHER_MAX_ROWS = 200_000
+
+
 def msearch_topk(
     reader: IndexReader,
     queries: Iterable[Mapping[str, Any]],
     k: int = 10,
     extra_cols: Iterable[str] = (),
+    gather_max_rows: int = _GATHER_MAX_ROWS,
 ) -> DataFrame:
     """Execute a batch of match queries as one job.
 
@@ -72,6 +80,25 @@ def msearch_topk(
         ).where(F.lit(False))
 
     # -- gather + per-query merge + ONE batched fetch ----------------------
+    # distributed-merge escape hatch: when segments x Σk_q (the gather's
+    # upper bound, ties aside) exceeds the driver budget, cut each query to
+    # its global top-k(+ties) IN SPARK — rank() over (query_id, score DESC)
+    # keeps exactly the tie group the driver-side theta cut would keep, so
+    # results are identical; only <= Σk_q(+ties) rows ever reach collect()
+    n_segs = reader.norms().select("segment_id").count()
+    est_gather = n_segs * sum(k_q for _, _, _, k_q, _ in kernel_plans)
+    if gather_max_rows is not None and est_gather > gather_max_rows:
+        kdf = reader.spark.createDataFrame(
+            [(qi, k_q) for qi, _, _, k_q, _ in kernel_plans],
+            "query_id int, __kq int",
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("score").desc())
+        cand = (
+            cand.withColumn("__rnk", F.rank().over(w))
+            .join(F.broadcast(kdf), "query_id")
+            .where(F.col("__rnk") <= F.col("__kq"))
+            .drop("__rnk", "__kq")
+        )
     rows = cand.collect()
     if not rows:
         return _empty_result(reader, extra_cols).withColumn(

@@ -205,6 +205,27 @@ def main() -> None:
         FAILS.append(("msearch_one_scan", "more than one postings scan"))
         print("FAIL  msearch_one_scan (duplicate postings scans)")
 
+    # 11. msearch distributed-merge escape hatch: past the gather bound the
+    #     per-query top-k cut runs in Spark (rank window per query_id +
+    #     broadcast k-map) BEFORE collect — the driver never sees
+    #     segments x queries x k rows
+    from pyspark.sql import Window
+
+    kdf = spark.createDataFrame([(0, 10), (1, 10)], "query_id int, __kq int")
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc())
+    bounded = (
+        ms_cand.withColumn("__rnk", F.rank().over(w))
+        .join(F.broadcast(kdf), "query_id")
+        .where(F.col("__rnk") <= F.col("__kq"))
+        .drop("__rnk", "__kq")
+    )
+    check(
+        "msearch_bounded_gather",
+        plan_of(bounded),
+        must=["Window", "BroadcastHashJoin"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
     print()
     if FAILS:
         for n, why in FAILS:

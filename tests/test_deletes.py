@@ -103,3 +103,18 @@ def test_deletes_survive_tiered_merge(idx, spark):
     assert {r[0] for r in got}.isdisjoint({"c0", "c2"})
     dm = deletes_map(reader)
     assert sum(len(v) for v in dm.values()) == 2  # rebased, not lost
+
+
+def test_explain_deleted_doc_reports_not_found(idx):
+    """Explaining a tombstoned doc returns the empty frame — the reference's
+    explain reports deleted docs as not found (round-3 advice fix)."""
+    from elasticsearch_spark.query.explain import explain_indexed
+
+    before = explain_indexed(idx, "error timeout", F.col("conv_id") == "c0")
+    assert len(before) >= 1
+    delete_docs(idx, F.col("conv_id") == "c0")
+    after = explain_indexed(idx, "error timeout", F.col("conv_id") == "c0")
+    assert len(after) == 0
+    # a live doc still explains fine
+    live = explain_indexed(idx, "error timeout", F.col("conv_id") == "c5")
+    assert len(live) >= 1

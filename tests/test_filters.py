@@ -184,3 +184,43 @@ def test_indexed_stemmed_query_vs_pyref(spark, tmp_root):
     # stem bridging: query 'relation' must reach doc c0 ('relational')
     keys = {r["conv_id"] for r in search_topk(reader, "relation", k=10).collect()}
     assert {"c0", "c1"} <= keys
+
+
+def test_fuzzy_max_expansions_cap(spark, tmp_path):
+    """Lucene FuzzyQuery's top-terms rewrite: the expansion set is capped
+    (default 50), keeping closest-edit terms first, then highest df. A
+    1-char query with fuzziness=2 would otherwise match a whole short-word
+    vocabulary (round-3 advice fix)."""
+    import pandas as pd
+
+    from elasticsearch_spark.config import IndexConfig
+    from elasticsearch_spark.index import IndexReader, build_index
+    from elasticsearch_spark.query import fuzzy_search_topk
+
+    # vocabulary of many 1-2 char terms, all within 2 edits of "aa"
+    texts = [f"a{c}" for c in "bcdefghijklmnop"] + ["aa", "aa", "aa", "zz"]
+    corpus = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(texts))],
+            "turn_idx": [0] * len(texts),
+            "text": texts,
+        }
+    )
+    d = str(tmp_path / "idx_fuzzy_cap")
+    build_index(
+        spark, spark.createDataFrame(corpus), d,
+        IndexConfig(n_partitions=2),
+    )
+    reader = IndexReader(spark, d)
+    # uncapped: every ab..ap variant (and zz at distance 2) is a hit
+    full = fuzzy_search_topk(reader, "aa", fuzziness=2, k=50,
+                             max_expansions=None)
+    assert full.count() == len(texts)
+    # capped at 3: the exact term (distance 0, df 3) always survives;
+    # the result set shrinks to docs of the 3 kept expansion terms
+    capped = fuzzy_search_topk(reader, "aa", fuzziness=2, k=50,
+                               max_expansions=3)
+    hits = capped.collect()
+    assert 3 <= len(hits) <= 5  # 3 "aa" docs + up to 2 other kept terms
+    top_texts = {r["conv_id"] for r in hits}
+    assert {"c15", "c16", "c17"} <= top_texts  # all exact-match docs kept

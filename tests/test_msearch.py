@@ -106,3 +106,14 @@ def test_msearch_per_query_k(reader):
     for r in out:
         n[r["query_id"]] = n.get(r["query_id"], 0) + 1
     assert n[0] == 3 and n[1] == 7
+
+
+def test_msearch_bounded_gather_identical(reader):
+    """gather_max_rows=1 forces the Spark-side per-query rank cut
+    (the distributed-merge escape hatch); results must be identical to
+    the unbounded driver-gather path, row for row."""
+    specs = _specs()[:8]
+    free = msearch_topk(reader, specs, gather_max_rows=None).collect()
+    bounded = msearch_topk(reader, specs, gather_max_rows=1).collect()
+    key = lambda r: (r["query_id"], -r["score"], r["conv_id"], r["turn_idx"])  # noqa: E731
+    assert sorted(free, key=key) == sorted(bounded, key=key)

@@ -84,14 +84,16 @@ def test_chi_square_hand_computed(cat_df):
     got = run(cat_df, "chi_square")
     # cat=a: over-represented (3/4 fg vs 2/6 rest) → kept
     assert got["a"] == pytest.approx(expected_chi2(3, 5), rel=1e-12)
-    # cat=b: 1/4 < 4/6 → include_negatives=false drops it
-    assert "b" not in got
+    # cat=b: 1/4 < 4/6 → include_negatives=false scores it -Infinity
+    # (ChiSquare.java:75-76 returns NEGATIVE_INFINITY, not a drop — the
+    # bucket can still fill `size` when few positives exist)
+    assert got["b"] == float("-inf")
 
 
 def test_mutual_information_hand_computed(cat_df):
     got = run(cat_df, "mutual_information")
     assert got["a"] == pytest.approx(expected_mi(3, 5), rel=1e-12)
-    assert "b" not in got  # negative-direction drop
+    assert got["b"] == float("-inf")  # negative direction → -Infinity
 
 
 def test_gnd_hand_computed(cat_df):
@@ -115,4 +117,29 @@ def test_jlh_positive_change_only(cat_df):
     assert got["a"] == pytest.approx(
         (fg_pct_a - bg_pct_a) * (fg_pct_a / bg_pct_a), rel=1e-12
     )
-    assert "b" not in got  # fg% 0.25 < bg% 0.5 → JLH returns 0 → dropped
+    # fg% 0.25 < bg% 0.5 → JLHScore.java:86-88 returns 0 (kept, ranked last)
+    assert got["b"] == 0.0
+
+
+def test_chi_square_degenerate_table_is_nan(spark):
+    """Single bucket covering the whole corpus: N0_ = 0 forces both the
+    numerator and denominator to 0 — Java 0.0/0.0 = NaN (ChiSquare.java:78
+    has no guard), where naive Spark division would yield NULL."""
+    df = spark.createDataFrame(
+        [("x", True), ("x", True), ("x", False), ("x", False)],
+        "cat string, flag boolean",
+    )
+    got = run(df, "chi_square")
+    assert math.isnan(got["x"])
+
+
+def test_negative_buckets_fill_size_ordering(cat_df):
+    """-Infinity buckets sort after every real score but are returned when
+    size allows — the reference's BucketSignificancePriorityQueue keeps
+    them rankable rather than absent."""
+    out = aggs.significant_terms(
+        cat_df, "cat", F.col("flag"), size=2, heuristic="chi_square",
+        min_doc_count=1,
+    ).collect()
+    assert [r["cat"] for r in out] == ["a", "b"]
+    assert out[0]["sig_score"] > out[1]["sig_score"] == float("-inf")
