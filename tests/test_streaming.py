@@ -53,7 +53,9 @@ def test_incremental_equals_batch(spark, tmp_root, corpus):
         cfg,
         on_batch=lambda bid, n_rows: seen.append((bid, n_rows)),
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(900), "stream did not drain in bound"
+    # (under full-suite host load the availableNow drain can exceed 300 s;
+    # reading the index mid-merge races segment deletion)
     assert len(seen) >= 2, seen  # really incremental (several micro-batches)
     assert sum(r for _, r in seen) == n
 
@@ -95,7 +97,9 @@ def test_incremental_merges_bound_segments(spark, tmp_root, corpus):
         cfg,
         merge_threshold=6,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(900), "stream did not drain in bound"
+    # (under full-suite host load the availableNow drain can exceed 300 s;
+    # reading the index mid-merge races segment deletion)
     man = spark.read.parquet(f"{stream_idx}/manifest").toPandas()
     merged = man[man["merge_fan_in"] > 1]
     assert len(merged) >= 1  # at least one tiered merge ran
