@@ -23,6 +23,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread the compute-heavy shingle/token explode across the cluster
+    when the input arrives under-partitioned (a small parquet read yields
+    one split, and everything upstream of the first shuffle then runs on
+    ONE core — measured 9 s of a 12 s signature stage at sf0.1). The
+    repartition shuffles only the raw (key, text) rows; inputs already at
+    cluster parallelism (the 100 TB case) pass through untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
     """Exact duplicate removal: keep the smallest key per identical text.
 
@@ -72,7 +85,7 @@ def minhash_signatures(
     """(key, [minhash_0..minhash_{k-1}]) via k seeded xxhash64 functions.
 
     One explode + one groupBy; the k min-aggregations are columnar."""
-    sh = df.select(
+    sh = _ensure_parallelism(df.select(F.col(key_col), F.col(text_col))).select(
         F.col(key_col).alias("key"),
         F.explode(_shingles(text_col, shingle_size)).alias("shingle"),
     )
@@ -163,7 +176,7 @@ def ngram_jaccard_pairs(
     shingle_size: int = 5,
 ) -> DataFrame:
     """Exact character-n-gram Jaccard for candidate pairs (verification)."""
-    sh = df.select(
+    sh = _ensure_parallelism(df.select(F.col(key_col), F.col(text_col))).select(
         F.col(key_col).alias("key"), _shingles(text_col, shingle_size).alias("sh")
     )
     a = sh.select(F.col("key").alias("key_a"), F.col("sh").alias("sh_a"))
@@ -200,7 +213,14 @@ def minhash_dedup(
     threshold instead of flooding the join with ~0.5-similar pairs; the
     cheap minhash-agreement estimate (one zip_with over ints) prunes
     candidates before the expensive shingle-set verification."""
+    from pyspark.storagelevel import StorageLevel
+
+    # the signature table is consumed three times (banding + both sides of
+    # the estimate join); at any scale it is ~num_hashes*8 bytes per doc —
+    # far smaller than the corpus — so persist it rather than re-shingling
+    # the corpus per consumer (standard LSH practice; spills if needed)
     sig = minhash_signatures(df, text_col, key_col, num_hashes, shingle_size)
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     cand = minhash_lsh_candidates(sig, bands, num_hashes // bands, max_bucket)
     est = minhash_jaccard_estimate(sig, cand).where(
         F.col("jaccard_est") >= threshold - estimate_margin
@@ -215,7 +235,7 @@ def minhash_dedup(
 def simhash_signatures(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
     """64-bit SimHash (Charikar 2002) over whitespace tokens, JVM-side:
     per bit b, sign of Σ_tokens (bit_b(xxhash64(token)) ? +1 : -1)."""
-    toks = df.select(
+    toks = _ensure_parallelism(df.select(F.col(key_col), F.col(text_col))).select(
         F.col(key_col).alias("key"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
