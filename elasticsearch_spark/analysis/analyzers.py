@@ -141,6 +141,25 @@ def tokenize_text(text: str, cfg: AnalyzerConfig | None = None) -> list[str]:
         toks = _WHITESPACE_RE.findall(text)
     elif cfg.kind == "keyword":
         toks = [text] if text else []
+    elif cfg.kind == "letter":
+        toks = re.findall(r"[A-Za-z]+", text)
+        if cfg.lowercase:
+            toks = [t.lower() for t in toks]
+    elif cfg.kind in ("ngram", "edge_ngram"):
+        src = text.lower() if cfg.lowercase else text
+        lo, hi = cfg.ngram_min, cfg.ngram_max
+        if cfg.kind == "edge_ngram":
+            toks = [src[:n] for n in range(lo, min(hi, len(src)) + 1)]
+        else:
+            toks = [
+                src[i : i + n]
+                for n in range(lo, hi + 1)
+                for i in range(max(len(src) - n + 1, 0))
+            ]
+    elif cfg.kind == "pattern":
+        toks = [t for t in re.split(cfg.pattern, text) if t != ""]
+        if cfg.lowercase:
+            toks = [t.lower() for t in toks]
     else:
         raise ValueError(f"unknown analyzer kind: {cfg.kind}")
     if cfg.stopwords:
@@ -354,6 +373,28 @@ def sql_tokenize_expr(col: str, cfg: AnalyzerConfig) -> str | None:
         base = f"filter(split({src}, '\\\\s+'), x -> x != '')"
     elif cfg.kind == "keyword":
         base = f"array({src})"
+    elif cfg.kind == "letter":
+        inner = f"regexp_extract_all({src}, '[A-Za-z]+', 0)"
+        base = f"transform({inner}, x -> lower(x))" if cfg.lowercase else inner
+    elif cfg.kind == "edge_ngram":
+        s = f"lower({src})" if cfg.lowercase else src
+        base = (
+            f"case when length({s}) >= {cfg.ngram_min} then "
+            f"transform(sequence({cfg.ngram_min}, least({cfg.ngram_max}, length({s}))),"
+            f" n -> substring({s}, 1, n)) else array() end"
+        )
+    elif cfg.kind == "ngram":
+        s = f"lower({src})" if cfg.lowercase else src
+        base = (
+            f"flatten(transform(sequence({cfg.ngram_min}, {cfg.ngram_max}),"
+            f" n -> case when length({s}) >= n then"
+            f" transform(sequence(1, length({s}) - n + 1), i -> substring({s}, i, n))"
+            f" else array() end))"
+        )
+    elif cfg.kind == "pattern":
+        pat = cfg.pattern.replace("\\", "\\\\").replace("'", "\\'")
+        inner = f"filter(split({src}, '{pat}'), x -> x != '')"
+        base = f"transform({inner}, x -> lower(x))" if cfg.lowercase else inner
     else:
         return None
     if cfg.shingle_size > 1:

@@ -40,11 +40,23 @@ class AnalyzerConfig:
       - "whitespace": split on whitespace, no lowercasing
         (WhitespaceTokenizerFactory).
       - "keyword": whole value as a single token (KeywordTokenizerFactory).
+      - "letter": maximal [A-Za-z]+ runs (LetterTokenizerFactory; ASCII
+        approximation of Character.isLetter — documented divergence),
+        lowercased when ``lowercase``.
+      - "ngram" / "edge_ngram": character n-grams of the raw value /
+        prefixes of it, lengths ``ngram_min``..``ngram_max``
+        (NGramTokenizerFactory.java, EdgeNGramTokenizerFactory.java
+        defaults min=1 max=2; edge_ngram side=front). SQL-expressible.
+      - "pattern": split on ``pattern`` regex (PatternTokenizerFactory,
+        default '\\W+' with group=-1 split semantics), drop empties.
     """
 
     kind: str = "standard"
     lowercase: bool = True
     max_token_length: int = 255
+    ngram_min: int = 1
+    ngram_max: int = 2
+    pattern: str = r"\W+"
     stopwords: tuple[str, ...] = ()  # standard analyzer default: empty set
     # char filters, applied to the raw text before tokenization, in order.
     # Supported: "html_strip" (HtmlStripCharFilterFactory.java)

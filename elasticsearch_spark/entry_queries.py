@@ -1279,6 +1279,70 @@ SELECT doc_id,
 FROM documents WHERE doc_id < 40
 """.strip()
 
+# date-math resolution (common/joda/DateMathParser.java): resolved
+# driver-side like the reference's coordinating node, so the executors see
+# a constant and time-partition pruning still applies. The oracle inlines
+# the INDEPENDENTLY hand-derived resolution of "now-10d/d" anchored at
+# 2024-01-25 13:45:00 -> 2024-01-15 00:00:00.
+register(
+    "filter_date_math",
+    "SELECT event_id FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'",
+)(
+    lambda spark, sf: _t(spark, sf, "events")
+    .where(
+        F.col("ts")
+        >= F.lit(
+            __import__(
+                "elasticsearch_spark.functions.datemath", fromlist=["x"]
+            ).parse_date_math("now-10d/d", now="2024-01-25 13:45:00")
+        )
+    )
+    .select("event_id")
+)
+
+_ANALYZE_LETTER_SQL = """
+SELECT doc_id,
+       unnest(generate_series(1, len(regexp_extract_all(text, '[A-Za-z]+')))) - 1 AS pos,
+       lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS token
+FROM documents WHERE doc_id < 40
+""".strip()
+
+register("analyze_letter_tokens", _ANALYZE_LETTER_SQL)(
+    lambda spark, sf: _t(spark, sf, "documents")
+    .where(F.col("doc_id") < 40)
+    .select(
+        "doc_id",
+        F.posexplode(
+            __import__(
+                "elasticsearch_spark.analysis.analyzers", fromlist=["x"]
+            ).tokenize_column("text", AnalyzerConfig(kind="letter"))
+        ).alias("pos", "token"),
+    )
+)
+
+# edge_ngram over the source label — the autocomplete-index shape
+# (EdgeNGramTokenizerFactory.java defaults, min=1 max=4 here)
+_ANALYZE_EDGE_SQL = """
+SELECT DISTINCT source,
+       unnest([substr(lower(source), 1, n) for n in range(1, least(4, length(source)) + 1)]) AS gram
+FROM documents
+""".strip()
+
+register("analyze_edge_ngram_tokens", _ANALYZE_EDGE_SQL)(
+    lambda spark, sf: _t(spark, sf, "documents")
+    .select(
+        "source",
+        F.explode(
+            __import__(
+                "elasticsearch_spark.analysis.analyzers", fromlist=["x"]
+            ).tokenize_column(
+                "source", AnalyzerConfig(kind="edge_ngram", ngram_min=1, ngram_max=4)
+            )
+        ).alias("gram"),
+    )
+    .distinct()
+)
+
 register("analyze_whitespace_tokens", _ANALYZE_WS_SQL)(
     lambda spark, sf: _t(spark, sf, "documents")
     .where(F.col("doc_id") < 40)

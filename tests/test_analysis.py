@@ -61,3 +61,50 @@ def test_whitespace_and_keyword():
 def test_stopwords_filter():
     cfg = AnalyzerConfig(stopwords=("the", "a"))
     assert tokenize_text("the quick a fox", cfg) == ["quick", "fox"]
+
+
+def test_new_tokenizer_kinds_sql_python_parity(spark):
+    """letter/ngram/edge_ngram/pattern: native-SQL and Python paths agree
+    (SURVEY §2.9 tokenizer rows; reference factories in index/analysis/)."""
+    from elasticsearch_spark.analysis.analyzers import tokenize_column, tokenize_text
+    from elasticsearch_spark.config import AnalyzerConfig
+
+    texts = ["Hello, World! 42", "", "a", "ab", "Don't stop", "x  y\tz", "ABCdef"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    cfgs = [
+        AnalyzerConfig(kind="letter"),
+        AnalyzerConfig(kind="letter", lowercase=False),
+        AnalyzerConfig(kind="edge_ngram", ngram_min=1, ngram_max=3),
+        AnalyzerConfig(kind="ngram", ngram_min=2, ngram_max=3),
+        AnalyzerConfig(kind="pattern", pattern=r"[,!\s]+"),
+    ]
+    for cfg in cfgs:
+        got = [list(r[0]) for r in df.select(tokenize_column("text", cfg)).collect()]
+        assert got == [tokenize_text(t, cfg) for t in texts], cfg
+
+
+def test_date_math_parser():
+    """DateMathParser.java grammar: now/anchor + shifts + round-down."""
+    from datetime import datetime
+
+    from elasticsearch_spark.functions.datemath import parse_date_math
+
+    now = datetime(2024, 1, 25, 13, 45, 17)
+    assert parse_date_math("now", now) == now
+    assert parse_date_math("now-10d/d", now) == datetime(2024, 1, 15)
+    assert parse_date_math("now/d", now) == datetime(2024, 1, 25)
+    assert parse_date_math("now/w", now) == datetime(2024, 1, 22)  # Monday
+    assert parse_date_math("now+1h/h", now) == datetime(2024, 1, 25, 14)
+    assert parse_date_math("now-1y/y", now) == datetime(2023, 1, 1)
+    # explicit anchor with ||, month arithmetic with day clamp (Joda)
+    assert parse_date_math("2024-01-31||+1M", now) == datetime(2024, 2, 29)
+    assert parse_date_math("2024-01-01||+1M/M", now) == datetime(2024, 2, 1)
+    assert parse_date_math("2023-06-15 10:30:00||-15m/m", now) == datetime(
+        2023, 6, 15, 10, 15
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_date_math("now*3d", now)
+    with _pytest.raises(ValueError):
+        parse_date_math("not-a-date||+1d", now)
