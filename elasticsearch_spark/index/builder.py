@@ -73,10 +73,10 @@ class BuildResult:
     n_partitions: int
 
 
-def _write_deterministic(table: pa.Table, path: str) -> None:
+def _write_deterministic(table: pa.Table, path: str, **kw) -> None:
     fsio.write_table_deterministic(
         table, path, compression="zstd", write_statistics=True,
-        data_page_size=1 << 20,
+        data_page_size=1 << 20, **kw,
     )
 
 
@@ -205,7 +205,12 @@ def _flush_segment(
             "pos_packed": pa.array(p_pos, pa.binary()),
         }
     )
-    _write_deterministic(postings_tbl, seg_dir("postings"))
+    # small row groups on the term-sorted postings: parquet min/max stats
+    # then prune a term lookup to ~1-2 groups per segment instead of the
+    # whole file (measured: the driver-local query path read ALL 32
+    # segment files fully per query with one whole-file group — the
+    # dominant share of its ~0.5 s latency at sf0.1)
+    _write_deterministic(postings_tbl, seg_dir("postings"), row_group_size=512)
 
     doc_cols = {
         "local_doc_id": pa.array(np.arange(n_docs, dtype=np.int32)),

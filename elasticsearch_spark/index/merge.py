@@ -186,7 +186,12 @@ def merge_segments(
         )
 
     posts_out = os.path.join(index_dir, "postings", f"segment_id={merged_name}")
-    new_posts.write.mode("overwrite").parquet(posts_out)
+    # bounded parquet row groups so term-range stats stay useful for the
+    # pruned driver-local reads after a merge (default 128 MB groups would
+    # make the merged file one unprunable block)
+    new_posts.write.mode("overwrite").option(
+        "parquet.block.size", 1 << 20
+    ).parquet(posts_out)
 
     # docs: offset local ids, concatenate
     docs = spark.read.parquet(os.path.join(index_dir, "docs")).where(
