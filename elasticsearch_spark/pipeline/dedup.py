@@ -311,15 +311,24 @@ def embedding_cosine_dups(
 
     Planes are pseudo-random ±1 component vectors derived from
     xxhash64(dim_index, plane_seed) — deterministic, no driver-side RNG."""
-    dims = F.size(F.col(vec_col))
-    norm = F.sqrt(
-        F.expr(f"aggregate({vec_col}, cast(0.0 as double), (a, x) -> a + x * x)")
-    )
-    normed = emb.select(
-        F.col(key_col).alias("key"),
-        F.expr(f"transform({vec_col}, x -> x / "
-               f"sqrt(aggregate({vec_col}, cast(0.0 as double), (a, y) -> a + y * y)))"
-               ).alias("v"),
+    # hoist the norm to its own column: inlining the aggregate inside the
+    # transform lambda re-evaluates it per ELEMENT (O(d^2) per row). Same
+    # arithmetic (float32 y*y widened into a double fold), one pass.
+    normed = (
+        _ensure_parallelism(emb.select(F.col(key_col), F.col(vec_col)))
+        .withColumn(
+            "__norm",
+            F.sqrt(
+                F.expr(
+                    f"aggregate({vec_col}, cast(0.0 as double),"
+                    " (a, y) -> a + y * y)"
+                )
+            ),
+        )
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(f"transform({vec_col}, x -> x / __norm)").alias("v"),
+        )
     )
     # plane p: sign of Σ_i v[i] * s(i, p), s = ±1 from hash parity
     bits = []

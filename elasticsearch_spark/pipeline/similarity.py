@@ -112,9 +112,13 @@ def ivf_topk(
     Ad-hoc variant: recomputes cells over the scan (one full pass, no
     writer needed). For repeated queries at scale use ``write_ivf`` +
     ``ivf_topk_indexed`` — partition pruning replaces the full pass."""
+    from elasticsearch_spark.pipeline.dedup import _ensure_parallelism
+
     cells = probe_cells(emb, vec_col, query_vec, bits, probe_hamming)
-    pruned = emb.withColumn("__cell", hyperplane_cell(vec_col, bits)).where(
-        F.col("__cell").isin(cells)
+    pruned = (
+        _ensure_parallelism(emb)
+        .withColumn("__cell", hyperplane_cell(vec_col, bits))
+        .where(F.col("__cell").isin(cells))
     )
     return cosine_topk(
         pruned.drop("__cell"), vec_col, key_col, query_vec, k, decimals
@@ -132,9 +136,13 @@ def write_ivf(
     One pass over the vectors; every later query reads only its probe
     cells' partitions (directory-level partition pruning — the scan is
     ~nprobe/2^bits of the data, the IVF inverted-list walk)."""
-    emb.withColumn("cell", hyperplane_cell(vec_col, bits)).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(out_dir)
+    from elasticsearch_spark.pipeline.dedup import _ensure_parallelism
+
+    # the cell computation (bits x dim fold per row) is the expensive part:
+    # spread under-partitioned inputs across the cluster before it runs
+    _ensure_parallelism(emb).withColumn(
+        "cell", hyperplane_cell(vec_col, bits)
+    ).write.mode("overwrite").partitionBy("cell").parquet(out_dir)
 
 
 def ivf_topk_indexed(
