@@ -226,6 +226,40 @@ def main() -> None:
         must_not=["CartesianProduct", "SortMergeJoin"],
     )
 
+    # 12. date-math range filter: resolved driver-side to a CONSTANT, so the
+    #     timestamp predicate reaches the parquet scan (PushedFilters —
+    #     partition/row-group pruning on a time-partitioned table)
+    from elasticsearch_spark.functions.datemath import parse_date_math
+
+    ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    dm = ev.where(
+        F.col("ts") >= F.lit(parse_date_math("now-10d/d", now="2024-01-25 13:45:00"))
+    ).select("event_id")
+    check(
+        "date_math_constant_pushdown",
+        plan_of(dm),
+        must=["PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"],
+        must_not=["FlatMapGroupsInPandas", "Exchange"],
+    )
+
+    # 13. TTL expiry plan: ONE partial/final hash aggregation over the
+    #     partition key — no joins, no second corpus pass
+    from elasticsearch_spark.ops.filters import ttl_expiry_plan
+
+    ttl = ttl_expiry_plan(ev, "ts", "2024-01-25 00:00:00", 10 * 86400)
+    ttl_plan = plan_of(ttl)
+    check(
+        "ttl_expiry_single_agg",
+        ttl_plan,
+        must=["HashAggregate"],
+        must_not=["SortMergeJoin", "CartesianProduct", "BroadcastHashJoin"],
+    )
+    # exactly one scan: formatted explain names each scan node once in the
+    # details section as "(n) Scan parquet"
+    if ttl_plan.count("ReadSchema") > 1:
+        FAILS.append(("ttl_expiry_single_agg", "more than one corpus scan"))
+        print("FAIL  ttl_expiry_single_agg (duplicate scans)")
+
     print()
     if FAILS:
         for n, why in FAILS:
