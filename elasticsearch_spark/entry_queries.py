@@ -1435,6 +1435,38 @@ register(
     "ORDER BY doc_count DESC, event_type ASC LIMIT 5",
 )(lambda spark, sf: aggs.terms_agg(_t(spark, sf, "events"), "event_type", size=5))
 
+# terms ordered BY a sub-aggregation (InternalOrder.Aggregation — the
+# `"order": {"avg_chars": "desc"}` request shape)
+register(
+    "agg_terms_order_by_subagg",
+    "SELECT lang, count(*) AS doc_count, round(avg(n_chars), 4) AS avg_chars, "
+    "max(n_chars) AS max_chars FROM documents GROUP BY lang "
+    "ORDER BY avg_chars DESC, lang ASC LIMIT 3",
+)(
+    lambda spark, sf: aggs.terms_agg_subaggs(
+        _t(spark, sf, "documents"),
+        "lang",
+        {
+            "avg_chars": F.round(F.avg("n_chars"), 4),
+            "max_chars": F.max("n_chars"),
+        },
+        order_by="avg_chars",
+        size=3,
+    )
+)
+
+# the /_count API: match count, no scoring, no fetch (RestCountAction)
+register(
+    "count_query",
+    "SELECT count(*) AS total FROM documents WHERE "
+    "len(list_intersect(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')), "
+    "['query', 'fast'])) >= 1",
+)(
+    lambda spark, sf: __import__(
+        "elasticsearch_spark.query.online", fromlist=["x"]
+    ).match_count(_t(spark, sf, "documents"), "query fast", analyzer=SIMPLE)
+)
+
 register(
     "agg_histogram",
     "SELECT CAST(floor(value / 50.0) * 50 AS DOUBLE) AS key, count(*) AS doc_count "

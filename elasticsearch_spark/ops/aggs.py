@@ -165,6 +165,31 @@ def terms_agg(
     return agg.orderBy(*ordering).limit(size)
 
 
+def terms_agg_subaggs(
+    df: DataFrame,
+    col: str,
+    subs: dict[str, Column],
+    order_by: str = "count",
+    size: int = 10,
+    ascending: bool = False,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """terms agg with sub-aggregations per bucket, orderable BY a sub-agg —
+    the reference's InternalOrder.Aggregation path (InternalOrder.java:43-94:
+    `"order": {"avg_price": "desc"}`). One partial/final hash aggregation
+    computes the bucket count and every sub-agg in the same pass (the same
+    shape as the reference's sub-collector tree in one shard visit)."""
+    agg = df.groupBy(col).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        *[c.alias(name) for name, c in subs.items()],
+    )
+    agg = agg.where(F.col("doc_count") >= min_doc_count)
+    key = F.col("doc_count") if order_by == "count" else F.col(order_by)
+    return agg.orderBy(
+        key.asc() if ascending else key.desc(), F.col(col).asc()
+    ).limit(size)
+
+
 def histogram(df: DataFrame, col: str, interval: float, by: Sequence[str] | None = None) -> DataFrame:
     """HistogramAggregator.java — key = floor(value/interval)*interval."""
     key = (F.floor(F.col(col) / interval) * interval).alias("key")

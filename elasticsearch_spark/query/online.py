@@ -278,3 +278,34 @@ def fuzzy_topk_online(
     return result.orderBy(
         F.col("score").desc(), *[F.col(c).asc() for c in keys]
     ).limit(k)
+
+
+def match_count(
+    df: DataFrame,
+    query_text: str,
+    text_col: str = "text",
+    analyzer: "AnalyzerConfig | None" = None,
+    operator: str = "or",
+    minimum_should_match: int = 1,
+) -> DataFrame:
+    """The `_count` API (rest/action/count/RestCountAction.java → count as a
+    search with size=0): how many docs match, NO scoring, NO fetch phase.
+
+    Pure JVM plan: tokenize_column (native SQL expr where the analyzer
+    allows) + one array_intersect per row + a single count aggregate — one
+    corpus scan, one 1-row reduction, nothing collected but the count."""
+    from elasticsearch_spark.analysis.analyzers import tokenize_column, tokenize_text
+    from elasticsearch_spark.config import AnalyzerConfig
+
+    analyzer = analyzer or AnalyzerConfig(kind="simple")
+    terms = list(dict.fromkeys(tokenize_text(query_text, analyzer)))
+    if not terms:
+        return df.sparkSession.createDataFrame([(0,)], "total long")
+    need = len(terms) if operator == "and" else max(1, minimum_should_match)
+    n_matched = F.size(
+        F.array_intersect(
+            F.array_distinct(tokenize_column(text_col, analyzer)),
+            F.array(*[F.lit(t) for t in terms]),
+        )
+    )
+    return df.where(n_matched >= need).agg(F.count(F.lit(1)).alias("total"))
