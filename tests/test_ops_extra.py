@@ -220,3 +220,40 @@ def test_ttl_predicates(spark):
         filters.ttl_expired("ts", "2024-01-25 00:00:00", 10 * 86400)
     ).collect()}
     assert live == {2, 3} and dead == {1}
+
+
+def test_match_count_operator_semantics(spark):
+    """_count API analog: operator and minimum_should_match semantics."""
+    from elasticsearch_spark.config import AnalyzerConfig
+    from elasticsearch_spark.query.online import match_count
+
+    df = spark.createDataFrame(
+        [("query fast merge",), ("query slow",), ("fast lane",), ("none here",)],
+        "text string",
+    )
+    simple = AnalyzerConfig(kind="simple")
+    get = lambda **kw: match_count(df, "query fast", analyzer=simple, **kw).collect()[0]["total"]  # noqa: E731
+    assert get() == 3                       # OR, msm 1
+    assert get(operator="and") == 1         # both terms required
+    assert get(minimum_should_match=2) == 1
+    from elasticsearch_spark.query.online import match_count as mc
+    assert mc(df, "", analyzer=simple).collect()[0]["total"] == 0
+
+
+def test_terms_agg_order_by_subagg(spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.ops.aggs import terms_agg_subaggs
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 100), ("b", 2), ("c", 60)],
+        "cat string, v int",
+    )
+    out = terms_agg_subaggs(
+        df, "cat", {"avg_v": F.avg("v"), "max_v": F.max("v")},
+        order_by="avg_v", size=2,
+    ).collect()
+    # avg: c=60, b=51, a=15 -> top2 by avg desc = c, b
+    assert [(r["cat"], r["doc_count"], r["avg_v"], r["max_v"]) for r in out] == [
+        ("c", 1, 60.0, 60), ("b", 2, 51.0, 100)
+    ]
