@@ -53,6 +53,59 @@ class IndexReader:
             )
         return self._views[sub]
 
+    # -- driver-local read caches (the query-path fixed costs) -------------
+    # pyarrow dataset discovery + the norms table are per-QUERY constants of
+    # the local execution path; cache them per index LAYOUT. The freshness
+    # token is the max mtime of the postings/norms directories — segment
+    # adds/removes (builds, tiered merges) touch those directories, so a
+    # layout change invalidates the cache; file:// only (object-store reads
+    # take the uncached path).
+
+    def _local_layout_token(self):
+        import os
+
+        if "://" in self.index_dir and not self.index_dir.startswith("file://"):
+            return None
+        root = self.index_dir.replace("file://", "")
+        try:
+            return max(
+                os.path.getmtime(os.path.join(root, sub))
+                for sub in ("postings", "norms")
+            )
+        except OSError:
+            return None
+
+    def local_dataset(self, sub: str):
+        """Cached pyarrow dataset for ``sub`` (None = take the uncached path)."""
+        token = self._local_layout_token()
+        if token is None:
+            return None
+        cache = getattr(self, "_local_ds", None)
+        if cache is None or cache[0] != token:
+            cache = (token, {})
+            self._local_ds = cache
+        if sub not in cache[1]:
+            cache[1][sub] = fsio.dataset(
+                fsio_join(self.index_dir, sub), partitioning="hive"
+            )
+        return cache[1][sub]
+
+    def local_norms(self):
+        """Cached norms pandas frame (segment_id as str), or None."""
+        token = self._local_layout_token()
+        if token is None:
+            return None
+        cached = getattr(self, "_local_norms", None)
+        if cached is None or cached[0] != token:
+            ds = self.local_dataset("norms")
+            if ds is None:
+                return None
+            norms = ds.to_table().to_pandas()
+            norms["segment_id"] = norms["segment_id"].astype(str)
+            cached = (token, norms)
+            self._local_norms = cached
+        return cached[1]
+
     def cache_views(self) -> "IndexReader":
         """Pin the hot search structures in executor memory — the analog of
         the reference's filesystem/fielddata caches (index/cache/). Call once

@@ -1211,9 +1211,14 @@ def _local_search(reader, score_fn, present, key_cols, extra_cols, k,
     import pyarrow.dataset as ds
 
     try:
-        post_ds = fsio.dataset(
-            _ijoin(reader.index_dir, "postings"), partitioning="hive"
-        )
+        # dataset discovery + norms are cached per index layout on the
+        # reader (invalidated on segment adds/removes via dir mtime) — they
+        # were per-query fixed costs dominating warm local-path latency
+        post_ds = reader.local_dataset("postings")
+        if post_ds is None:
+            post_ds = fsio.dataset(
+                _ijoin(reader.index_dir, "postings"), partitioning="hive"
+            )
         tbl = post_ds.to_table(
             filter=ds.field("term").isin(present),
             columns=[*columns, "segment_id"] if columns else None,
@@ -1225,10 +1230,18 @@ def _local_search(reader, score_fn, present, key_cols, extra_cols, k,
     post = tbl.to_pandas()
     post["segment_id"] = post["segment_id"].astype(str)
 
-    norm_ds = fsio.dataset(_ijoin(reader.index_dir, "norms"), partitioning="hive")
     segs = sorted(post["segment_id"].unique())
-    norms = norm_ds.to_table(filter=ds.field("segment_id").isin(segs)).to_pandas()
-    norms["segment_id"] = norms["segment_id"].astype(str)
+    norms = reader.local_norms()
+    if norms is not None:
+        norms = norms[norms["segment_id"].isin(segs)]
+    else:
+        norm_ds = fsio.dataset(
+            _ijoin(reader.index_dir, "norms"), partitioning="hive"
+        )
+        norms = norm_ds.to_table(
+            filter=ds.field("segment_id").isin(segs)
+        ).to_pandas()
+        norms["segment_id"] = norms["segment_id"].astype(str)
 
     rows = []
     for seg, g in post.groupby("segment_id", sort=False):
