@@ -1,0 +1,75 @@
+"""Streaming exact deduplication — a custom stateful operator.
+
+The batch pipeline's exact dedup (pipeline/dedup.py) needs the whole corpus
+in one pass; a continuous ingest (the reference's river / bulk-stream
+analog, with the versionMap keep-semantics of
+index/engine/internal/LiveVersionMap.java) must drop re-arrivals of
+already-seen content ACROSS micro-batches. That is per-key mutable state —
+Structured Streaming's ``applyInPandasWithState``:
+
+- key: xxhash64(text) — constant-width state keys, never the documents
+  (the same shuffle-key discipline as the batch op: at 100 TB the state
+  store holds 8-byte hashes + one first-seen key each, not text);
+- state: the first-seen doc key (emitted once; later arrivals of the same
+  hash emit nothing);
+- within one micro-batch, the smallest doc key wins (deterministic under
+  batch-internal shuffle order), matching the batch op's keep-smallest.
+
+State is hash-partitioned by Spark's state store — adding executors splits
+the key space, no single-node seen-set. GroupStateTimeout is configurable:
+NoTimeout keeps state forever (true global dedup); processing-time timeout
+turns it into a bounded-memory sliding dedup window.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """First-seen-wins exact dedup over a stream: (key, text_hash) rows of
+    documents whose content hash was never seen in any earlier micro-batch.
+
+    Join the result back to the payload stream (or carry columns through)
+    downstream; keeping the stateful operator narrow keeps the state store
+    and the shuffle at fixed width regardless of document size.
+    """
+    hashed = stream_df.select(
+        F.col(key_col).alias("key"),
+        F.xxhash64(F.col(text_col)).alias("text_hash"),
+    )
+
+    def dedup_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            return  # content already emitted in an earlier batch
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = pdf["key"].min()
+                best = m if best is None else min(best, m)
+        if best is None:
+            return
+        state.update((int(best),))
+        yield pd.DataFrame({"key": [best], "text_hash": [key[0]]})
+
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="key long, text_hash long",
+        stateStructType="first_key long",
+        outputMode="append",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )

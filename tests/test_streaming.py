@@ -106,3 +106,51 @@ def test_incremental_merges_bound_segments(spark, tmp_root, corpus):
     reader = IndexReader(spark, stream_idx)
     assert reader.n_docs == n
     assert search_topk(reader, "error", k=5).count() > 0
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_root):
+    """applyInPandasWithState dedup: a content hash emitted in batch N is
+    dropped in every later batch; within a batch the smallest key wins —
+    so the drained stream equals the batch exact_dedup over the union."""
+    import pandas as pd
+
+    from elasticsearch_spark.pipeline.dedup import exact_dedup
+    from elasticsearch_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    texts = ["alpha beta", "gamma delta", "alpha beta", "epsilon",
+             "gamma delta", "zeta", "alpha beta", "eta theta"]
+    corpus = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    src = f"{tmp_root}/dedup_stream_src"
+    os.makedirs(src, exist_ok=True)
+    # ordered chunks: first arrival == smallest doc_id, so streaming
+    # first-seen-wins and batch keep-smallest coincide
+    for i in range(0, len(corpus), 2):
+        spark.createDataFrame(corpus.iloc[i : i + 2]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/chunk{i // 2}")
+    out_rows = []
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk*")
+    )
+    q = (
+        streaming_exact_dedup(stream, "text", "doc_id")
+        .writeStream.foreachBatch(
+            lambda df, bid: out_rows.extend(df.collect())
+        )
+        .option("checkpointLocation", f"{tmp_root}/dedup_stream_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(900), "stream did not drain in bound"
+    got = sorted(r["key"] for r in out_rows)
+    want = sorted(
+        r["doc_id"]
+        for r in exact_dedup(
+            spark.createDataFrame(corpus), "text", "doc_id"
+        ).collect()
+    )
+    assert got == want == [0, 1, 3, 5, 7]
