@@ -79,7 +79,6 @@ register("bm25_match_and", bm25_topk_sql(["data", "query"], k=10, need=2))(
 )
 
 register(
-    "bm25_match_msm2",
     bm25_topk_sql(["spark", "filter", "window"], k=10, need=2),
 )(
     lambda spark, sf: _online(
@@ -1005,7 +1004,6 @@ register(
 )(_span_entry("span_near_topk", ["hash", "join"], slop=2, in_order=False, k=10))
 
 register(
-    "span_not",
     span_sql(
         "len([p for p in range(1, len(t) + 1) if t[p] = 'table'"
         " AND len([q for q in range(1, len(t) + 1) if t[q] = 'fast'"
@@ -1189,7 +1187,6 @@ register(
 )(lambda spark, sf: _t(spark, sf, "events").where(filters.wildcard("event_type", "c*k")).select("event_id"))
 
 register(
-    "filter_regexp",
     "SELECT doc_id FROM documents WHERE regexp_matches(lang, '^(?:e[ns])$')",
 )(lambda spark, sf: _t(spark, sf, "documents").where(filters.regexp("lang", "e[ns]")).select("doc_id"))
 
@@ -2314,13 +2311,20 @@ register("percolate_queries", _PERCOLATE_SQL)(_percolate_query)
 # latest driver row is older than two rounds. The 8 spine entries left
 # outside (bm25_k100, bm25_zero_hits, agg_stats, filter_prefix,
 # bm25_phrase_trigram, span_near_unordered, multi_match_most_fields,
-# fuzzy_query) are each the sibling of an in-window family member and
-# stay r2-recorded + pytest/verify_oracles-green locally.
+# fuzzy_query, bm25_match_msm2, bm25_indexed_and, span_not, filter_regexp,
+# suggest_completion) are each the sibling of an in-window or r3-recorded
+# family member and stay r2-recorded + pytest/verify_oracles-green locally.
 _DRIVER_PRIORITY = [
-    # new in r4: TTL partition-expiry plan + the _analyze debug API
+    # new in r4: TTL partition-expiry plan, the _analyze debug API (4
+    # tokenizer kinds), date-math, _count, sub-agg-ordered terms
     "ttl_expiry_plan",
     "analyze_simple_tokens",
     "analyze_whitespace_tokens",
+    "analyze_letter_tokens",
+    "analyze_edge_ngram_tokens",
+    "filter_date_math",
+    "count_query",
+    "agg_terms_order_by_subagg",
     # r3 rows-only -> pymirror VALUES oracles this round (hash-green now)
     "ann_ivf_indexed",
     "ann_ivf_topk",
@@ -2332,12 +2336,10 @@ _DRIVER_PRIORITY = [
     "multimodal_image_decode",
     # spine rotation: newest driver row r2, re-recorded this round
     "bm25_match_and",
-    "bm25_match_msm2",
     "bm25_filtered",
     "multi_match_best_fields",
     "rescore_window",
     "suggest_term",
-    "suggest_completion",
     "suggest_phrase",
     "highlight_plain",
     "more_like_this",
@@ -2350,17 +2352,14 @@ _DRIVER_PRIORITY = [
     "common_terms",
     "span_first",
     "span_near_ordered",
-    "span_not",
     "query_string_bool",
     "query_string_phrase_filter",
     "bm25_indexed_term",
     "bm25_indexed_or",
-    "bm25_indexed_and",
     "bm25_indexed_filtered",
     "filter_term",
     "filter_terms_range",
     "filter_wildcard",
-    "filter_regexp",
     "filter_exists_missing",
     "filter_ids",
     "filter_ttl_live",
