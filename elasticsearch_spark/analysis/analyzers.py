@@ -157,7 +157,10 @@ def tokenize_text(text: str, cfg: AnalyzerConfig | None = None) -> list[str]:
                 for i in range(max(len(src) - n + 1, 0))
             ]
     elif cfg.kind == "pattern":
-        toks = [t for t in re.split(cfg.pattern, text) if t != ""]
+        # re.ASCII: Java regex \W/\s/\d are ASCII-only by default, and the
+        # SQL path compiles to Spark's Java-regex split — without the flag,
+        # Python's unicode \W would split 'café' differently than the scan
+        toks = [t for t in re.split(cfg.pattern, text, flags=re.ASCII) if t != ""]
         if cfg.lowercase:
             toks = [t.lower() for t in toks]
     else:
@@ -397,6 +400,11 @@ def sql_tokenize_expr(col: str, cfg: AnalyzerConfig) -> str | None:
         base = f"transform({inner}, x -> lower(x))" if cfg.lowercase else inner
     else:
         return None
+    if cfg.stopwords:
+        # 1:1 filter (NOT array_except, which dedupes) — keeps the SQL path
+        # consistent with tokenize_text's stopword removal
+        stops = ", ".join("'" + w.replace("'", "\\'") + "'" for w in cfg.stopwords)
+        base = f"filter({base}, x -> NOT array_contains(array({stops}), x))"
     if cfg.shingle_size > 1:
         n = cfg.shingle_size
         base = (

@@ -79,6 +79,7 @@ register("bm25_match_and", bm25_topk_sql(["data", "query"], k=10, need=2))(
 )
 
 register(
+    "bm25_match_msm2",
     bm25_topk_sql(["spark", "filter", "window"], k=10, need=2),
 )(
     lambda spark, sf: _online(
@@ -1004,6 +1005,7 @@ register(
 )(_span_entry("span_near_topk", ["hash", "join"], slop=2, in_order=False, k=10))
 
 register(
+    "span_not",
     span_sql(
         "len([p for p in range(1, len(t) + 1) if t[p] = 'table'"
         " AND len([q for q in range(1, len(t) + 1) if t[q] = 'fast'"
@@ -1187,6 +1189,7 @@ register(
 )(lambda spark, sf: _t(spark, sf, "events").where(filters.wildcard("event_type", "c*k")).select("event_id"))
 
 register(
+    "filter_regexp",
     "SELECT doc_id FROM documents WHERE regexp_matches(lang, '^(?:e[ns])$')",
 )(lambda spark, sf: _t(spark, sf, "documents").where(filters.regexp("lang", "e[ns]")).select("doc_id"))
 
@@ -2304,16 +2307,16 @@ register("percolate_queries", _PERCOLATE_SQL)(_percolate_query)
 # --------------------------------------------------------------------------
 # The correctness driver records the FIRST 50 registry entries in dict
 # order, so `queries()`/`oracle_sql()` serve a rotating curated order.
-# Round-4 window (50 slots): the 3 entries new this round, then the 8
+# Round-4 window (50 slots): the 8 entries new this round, then the 8
 # entries whose round-3 row was rows-only and which now carry pymirror
-# VALUES oracles (re-recorded as hash-green), then 39 of the 47 spine
-# entries whose newest driver row is r2 — so after round 4 no entry's
-# latest driver row is older than two rounds. The 8 spine entries left
-# outside (bm25_k100, bm25_zero_hits, agg_stats, filter_prefix,
+# VALUES oracles (re-recorded as hash-green), then 34 of the 47 spine
+# entries whose newest driver row is r2. The 13 spine entries left outside
+# (bm25_k100, bm25_zero_hits, agg_stats, filter_prefix,
 # bm25_phrase_trigram, span_near_unordered, multi_match_most_fields,
 # fuzzy_query, bm25_match_msm2, bm25_indexed_and, span_not, filter_regexp,
 # suggest_completion) are each the sibling of an in-window or r3-recorded
-# family member and stay r2-recorded + pytest/verify_oracles-green locally.
+# family member; their newest driver row stays r2 (exactly two rounds
+# back) and all remain pytest/verify_oracles-green locally.
 _DRIVER_PRIORITY = [
     # new in r4: TTL partition-expiry plan, the _analyze debug API (4
     # tokenizer kinds), date-math, _count, sub-agg-ordered terms

@@ -228,7 +228,13 @@ def minhash_dedup(
     verified = ngram_jaccard_pairs(
         df, text_col, key_col, est.select("key_a", "key_b"), shingle_size
     ).where(F.col("jaccard") >= threshold)
+    # materialize the (small) loser-key set now, while sig is cached, then
+    # release the signature cache — no session-lifetime storage leak; the
+    # returned plan depends only on df + the loser keys
     losers = verified.select(F.col("key_b").alias(key_col)).distinct()
+    losers = losers.persist(StorageLevel.MEMORY_AND_DISK)
+    losers.count()
+    sig.unpersist()
     return df.join(losers, key_col, "left_anti")
 
 

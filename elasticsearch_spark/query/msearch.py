@@ -85,9 +85,9 @@ def msearch_topk(
     # its global top-k(+ties) IN SPARK — rank() over (query_id, score DESC)
     # keeps exactly the tie group the driver-side theta cut would keep, so
     # results are identical; only <= Σk_q(+ties) rows ever reach collect()
-    n_segs = reader.norms().select("segment_id").count()
-    est_gather = n_segs * sum(k_q for _, _, _, k_q, _ in kernel_plans)
-    if gather_max_rows is not None and est_gather > gather_max_rows:
+    if gather_max_rows is not None and _est_gather_rows(
+        reader, kernel_plans
+    ) > gather_max_rows:
         kdf = reader.spark.createDataFrame(
             [(qi, k_q) for qi, _, _, k_q, _ in kernel_plans],
             "query_id int, __kq int",
@@ -132,6 +132,19 @@ def msearch_topk(
     return reader.spark.createDataFrame(
         out[["query_id", *key_cols, *extra_cols, "score"]], schema=schema
     )
+
+
+def _est_gather_rows(reader, kernel_plans) -> int:
+    """segments x Σk_q — the gather's upper bound (ties aside). Segment
+    count comes from the cached local norms when available; the fallback
+    count() job runs only when the bound is actually being enforced."""
+    norms = reader.local_norms()
+    n_segs = (
+        len(norms)
+        if norms is not None
+        else reader.norms().select("segment_id").count()
+    )
+    return n_segs * sum(k_q for _, _, _, k_q, _ in kernel_plans)
 
 
 def _msearch_candidates(reader, queries, k):

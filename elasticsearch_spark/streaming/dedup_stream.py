@@ -36,26 +36,38 @@ def streaming_exact_dedup(
     text_col: str = "text",
     key_col: str = "doc_id",
     timeout: str = "NoTimeout",
+    timeout_ms: int = 3_600_000,
 ) -> DataFrame:
     """First-seen-wins exact dedup over a stream: (key, text_hash) rows of
     documents whose content hash was never seen in any earlier micro-batch.
 
-    Join the result back to the payload stream (or carry columns through)
-    downstream; keeping the stateful operator narrow keeps the state store
-    and the shuffle at fixed width regardless of document size.
+    ``timeout="NoTimeout"`` keeps state forever (true global dedup);
+    ``timeout="ProcessingTimeTimeout"`` evicts a hash's state ``timeout_ms``
+    after its last sighting — a bounded-memory sliding dedup window where a
+    re-arrival after eviction is emitted again (by design: the window
+    forgot it). Join the result back to the payload stream downstream;
+    keeping the stateful operator narrow keeps the state store and shuffle
+    at fixed width regardless of document size.
     """
     hashed = stream_df.select(
         F.col(key_col).alias("key"),
         F.xxhash64(F.col(text_col)).alias("text_hash"),
     )
+    use_timeout = timeout == "ProcessingTimeTimeout"
 
     def dedup_fn(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # sliding window: forget this hash
+            return
         if state.exists:
-            return  # content already emitted in an earlier batch
+            # already emitted; a fresh sighting extends the window
+            if use_timeout:
+                state.setTimeoutDuration(timeout_ms)
+            return
         best = None
         for pdf in pdfs:
             if len(pdf):
@@ -64,6 +76,8 @@ def streaming_exact_dedup(
         if best is None:
             return
         state.update((int(best),))
+        if use_timeout:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame({"key": [best], "text_hash": [key[0]]})
 
     return hashed.groupBy("text_hash").applyInPandasWithState(
