@@ -108,3 +108,17 @@ def test_date_math_parser():
         parse_date_math("now*3d", now)
     with _pytest.raises(ValueError):
         parse_date_math("not-a-date||+1d", now)
+
+
+def test_stopwords_sql_python_parity(spark):
+    """Stopword removal must apply on BOTH tokenize paths (the SQL expr
+    previously skipped it silently)."""
+    from elasticsearch_spark.analysis.analyzers import tokenize_column, tokenize_text
+    from elasticsearch_spark.config import AnalyzerConfig
+
+    cfg = AnalyzerConfig(kind="simple", stopwords=("the", "a"))
+    texts = ["the quick fox", "a a the", "no stops here"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [list(r[0]) for r in df.select(tokenize_column("text", cfg)).collect()]
+    assert got == [tokenize_text(t, cfg) for t in texts]
+    assert got[0] == ["quick", "fox"] and got[1] == []
