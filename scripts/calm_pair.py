@@ -35,7 +35,12 @@ GATE_EFF = float(os.environ.get("PAIR_GATE_EFF", "0.80"))
 # overridable (PAIR_GATE_AGG) to "enough cores to finish", with the pre AND
 # post ratio brackets still required for a pair to count as calm.
 GATE_AGG = float(os.environ.get("PAIR_GATE_AGG", "12.0"))
-N_CONVS = 50000  # = 842,336 turns at seed 42
+# 50000 convs = 842,336 turns at seed 42 (the r2/r3-comparable corpus).
+# Overridable: on days when the host quota never holds for the ~10-minute
+# full-size pair, a half-size corpus (PAIR_NCONVS=25000) halves the
+# exposure window so the pre AND post brackets have a chance to both hold;
+# such pairs are logged with their corpus size and reported separately.
+N_CONVS = int(os.environ.get("PAIR_NCONVS", "50000"))
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 BURN = r"""
@@ -104,7 +109,7 @@ def main() -> None:
     log_path = sys.argv[1]
     build_only = "--build-only" in sys.argv
     rec: dict = {"ts": time.strftime("%H:%M:%S"), "lo": LO, "hi": HI,
-                 "pre": bracket()}
+                 "n_convs": N_CONVS, "pre": bracket()}
     pre = rec["pre"]
     if pre["hw_eff"] < GATE_EFF or pre["burn_hi"] < GATE_AGG:
         rec["gate"] = "skip"
