@@ -398,16 +398,41 @@ def _shingle_set(text: str, n: int) -> list[str]:
     return list(seen)
 
 
+def _xxh64_int_family(count: int, seed: int) -> np.ndarray:
+    """Vectorized xxh64_int(i, seed) for i in 0..count-1 (uint64 wraparound
+    arithmetic is exact in numpy) — equals the scalar chain bit-for-bit,
+    asserted in tests/test_pymirror.py."""
+    u = np.uint64
+    i = np.arange(count, dtype=np.uint64)
+    h = u((seed + _P5 + 4) & _M) ^ ((i & u(0xFFFFFFFF)) * u(_P1))
+    h = ((h << u(23)) | (h >> u(41))) * u(_P2) + u(_P3)
+    h ^= h >> u(33)
+    h *= u(_P2)
+    h ^= h >> u(29)
+    h *= u(_P3)
+    h ^= h >> u(32)
+    return h.astype(np.int64)  # two's complement == Spark's signed long
+
+
+_SHINGLE_FAMILY_CACHE: dict[tuple[str, int], np.ndarray] = {}
+
+
 def minhash_signature(
     text: str, num_hashes: int = 64, shingle_size: int = 5
 ) -> list[int]:
+    """[min_s xxh64(s, i) for i] — the shingle's string hash is computed
+    once and the i-family derived from it (chain seeding: str then int,
+    exactly F.xxhash64(shingle, lit(i)))."""
     sh = _shingle_set(text, shingle_size)
-    sig = []
-    for i in range(num_hashes):
-        sig.append(
-            min(spark_xxhash64(("str", s), ("int", i)) for s in sh)
-        )
-    return sig
+    rows = np.empty((len(sh), num_hashes), dtype=np.int64)
+    for r, s in enumerate(sh):
+        key = (s, num_hashes)
+        fam = _SHINGLE_FAMILY_CACHE.get(key)
+        if fam is None:
+            fam = _xxh64_int_family(num_hashes, xxh64_bytes(s.encode("utf-8"), 42))
+            _SHINGLE_FAMILY_CACHE[key] = fam
+        rows[r] = fam
+    return [int(v) for v in rows.min(axis=0)]
 
 
 def minhash_keep_keys(

@@ -154,3 +154,14 @@ def test_bm25_mirror_matches_pyref():
     assert [k for k, _ in ref] == [k for k, _ in mir]
     for (_, a), (_, b) in zip(ref, mir):
         assert math.isclose(a, b, rel_tol=1e-9)
+
+
+def test_vectorized_int_family_equals_scalar_chain():
+    """The numpy-vectorized xxh64_int family must equal the scalar
+    F.xxhash64(str, lit(i)) chain bit-for-bit."""
+    for s in ("hello", "abcde", "x" * 40, "日本語", ""):
+        seed = pm.xxh64_bytes(s.encode("utf-8"), 42)
+        fam = pm._xxh64_int_family(64, seed)
+        assert list(fam) == [
+            pm.spark_xxhash64(("str", s), ("int", i)) for i in range(64)
+        ]
