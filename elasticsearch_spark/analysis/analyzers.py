@@ -68,6 +68,28 @@ SIMPLE_TOKEN_PATTERN = "[a-z0-9]+"
 _SIMPLE_RE = re.compile(SIMPLE_TOKEN_PATTERN)
 _WHITESPACE_RE = re.compile(r"\S+")
 
+# --- uax_url_email tokenizer ----------------------------------------------
+# UAX29URLEmailTokenizerFactory analog: URLs and email addresses survive as
+# single tokens; everything else segments like "standard". The reference's
+# tokenizer implements the full RFC 3986/5321 grammars in JFlex; these are
+# practical approximations (scheme'd or www. URLs, addr-spec emails, token
+# may not end in punctuation) — a documented divergence. Kept to character
+# classes portable across Python re / Java regex / RE2 so the SQL oracle
+# can reproduce them.
+URL_TOKEN_PATTERN = (  # scheme match is case-insensitive (spelled out for
+    # portability across Python re / Java regex / RE2 — no inline flags)
+    r"(?:(?:[Hh][Tt][Tt][Pp][Ss]?|[Ff][Tt][Pp])://|[Ww][Ww][Ww]\.)"
+    r"[A-Za-z0-9.\-/?#=&%+~_:@!$'()*,;]*[A-Za-z0-9/#=&%+~_\-]"
+)
+EMAIL_TOKEN_PATTERN = (
+    r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+)
+_UAX_URL_EMAIL_RE = re.compile(
+    f"{URL_TOKEN_PATTERN}|{EMAIL_TOKEN_PATTERN}"
+    f"|{_KATA}|{_HIRA}|{_CJK}|{_WORD}",
+    re.UNICODE,
+)
+
 
 def _chunk_long(tokens: list[str], max_len: int) -> list[str]:
     """StandardTokenizer splits (not truncates) tokens over max_token_length."""
@@ -86,6 +108,16 @@ def _char_filter_text(text: str, cfg: AnalyzerConfig) -> str:
     for name in cfg.char_filters:
         if name == "html_strip":
             text = html_strip(text)
+        elif name == "mapping":
+            # MappingCharFilterFactory.java analog: literal pairs in
+            # declared order (divergence from Lucene's longest-match
+            # automaton documented in config.py)
+            for src, dst in cfg.char_filter_mappings:
+                text = text.replace(src, dst)
+        elif name == "pattern_replace":
+            # PatternReplaceCharFilterFactory.java: global regex replace
+            text = re.sub(cfg.char_filter_pattern,
+                          cfg.char_filter_replacement, text)
         else:
             raise ValueError(f"unknown char filter: {name}")
     return text
@@ -95,6 +127,12 @@ def _char_filter_series(s: pd.Series, cfg: AnalyzerConfig) -> pd.Series:
     for name in cfg.char_filters:
         if name == "html_strip":
             s = html_strip_series(s)
+        elif name == "mapping":
+            for src, dst in cfg.char_filter_mappings:
+                s = s.str.replace(src, dst, regex=False)
+        elif name == "pattern_replace":
+            s = s.str.replace(cfg.char_filter_pattern,
+                              cfg.char_filter_replacement, regex=True)
         else:
             raise ValueError(f"unknown char filter: {name}")
     return s
@@ -130,8 +168,9 @@ def tokenize_text(text: str, cfg: AnalyzerConfig | None = None) -> list[str]:
     if text is None:
         return []
     text = _char_filter_text(text, cfg)
-    if cfg.kind == "standard":
-        toks = _STANDARD_RE.findall(text)
+    if cfg.kind in ("standard", "uax_url_email"):
+        rex = _STANDARD_RE if cfg.kind == "standard" else _UAX_URL_EMAIL_RE
+        toks = rex.findall(text)
         toks = _chunk_long(toks, cfg.max_token_length)
         if cfg.lowercase:
             toks = [t.lower() for t in toks]
@@ -184,8 +223,9 @@ def analyze_series(s: pd.Series, cfg: AnalyzerConfig | None = None) -> pd.Series
     """
     cfg = cfg or AnalyzerConfig()
     s = _char_filter_series(s.fillna(""), cfg)
-    if cfg.kind == "standard":
-        toks = s.str.findall(_STANDARD_RE)
+    if cfg.kind in ("standard", "uax_url_email"):
+        rex = _STANDARD_RE if cfg.kind == "standard" else _UAX_URL_EMAIL_RE
+        toks = s.str.findall(rex)
         if cfg.max_token_length:
             ml = cfg.max_token_length
             toks = toks.map(lambda ts: _chunk_long(ts, ml))
@@ -340,6 +380,11 @@ def analyze_codes(s: pd.Series, cfg: AnalyzerConfig | None = None):
     return codes, uniques, lens
 
 
+def _sql_str(s: str) -> str:
+    """Escape a literal for a single-quoted Spark SQL string."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def sql_char_filter_expr(col: str, cfg: AnalyzerConfig) -> str:
     """Wrap a column expression with the SQL-expressible char filters."""
     out = col
@@ -352,6 +397,14 @@ def sql_char_filter_expr(col: str, cfg: AnalyzerConfig) -> str:
                 ("&#39;", "\\'"), ("&nbsp;", " "), ("&amp;", "&"),
             ):
                 out = f"replace({out}, '{ent}', '{rep}')"
+        elif name == "mapping":
+            for src, dst in cfg.char_filter_mappings:
+                out = f"replace({out}, '{_sql_str(src)}', '{_sql_str(dst)}')"
+        elif name == "pattern_replace":
+            out = (
+                f"regexp_replace({out}, '{_sql_str(cfg.char_filter_pattern)}',"
+                f" '{_sql_str(cfg.char_filter_replacement)}')"
+            )
         else:
             return ""
     return out

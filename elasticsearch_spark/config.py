@@ -49,6 +49,11 @@ class AnalyzerConfig:
         defaults min=1 max=2; edge_ngram side=front). SQL-expressible.
       - "pattern": split on ``pattern`` regex (PatternTokenizerFactory,
         default '\\W+' with group=-1 split semantics), drop empties.
+      - "uax_url_email": "standard" segmentation, but URLs and email
+        addresses survive as single tokens
+        (UAX29URLEmailTokenizerFactory; practical regex approximation of
+        the reference's JFlex RFC grammars — divergence documented at
+        analyzers.URL_TOKEN_PATTERN).
     """
 
     kind: str = "standard"
@@ -59,8 +64,23 @@ class AnalyzerConfig:
     pattern: str = r"\W+"
     stopwords: tuple[str, ...] = ()  # standard analyzer default: empty set
     # char filters, applied to the raw text before tokenization, in order.
-    # Supported: "html_strip" (HtmlStripCharFilterFactory.java)
+    # Supported: "html_strip" (HtmlStripCharFilterFactory.java),
+    # "mapping" (MappingCharFilterFactory.java — literal pairs from
+    # ``char_filter_mappings``, applied sequentially in declared order; a
+    # documented divergence from Lucene's single-pass longest-match
+    # automaton, identical when the pairs don't overlap), and
+    # "pattern_replace" (PatternReplaceCharFilterFactory.java — global
+    # regex replace of ``char_filter_pattern`` with
+    # ``char_filter_replacement``).
     char_filters: tuple[str, ...] = ()
+    # "mapping" char filter pairs: ((src, dst), ...), e.g. smart quotes →
+    # ascii, PII masks. Applied before tokenization in declared order.
+    char_filter_mappings: tuple[tuple[str, str], ...] = ()
+    # "pattern_replace" char filter: regex + replacement (keep to the
+    # portable regex subset — the same pattern runs under Python re,
+    # Java regex, and the DuckDB oracle's RE2).
+    char_filter_pattern: str = ""
+    char_filter_replacement: str = ""
     # token filters, applied after lowercase+stopwords, in tuple order.
     # Supported: "asciifolding" (ASCIIFoldingTokenFilterFactory.java),
     # "porter_stem" (PorterStemTokenFilterFactory.java), "synonym"

@@ -704,6 +704,87 @@ def _shingle_query(spark, sf):
 register("analysis_shingle_top", _SHINGLE_SQL)(_shingle_query)
 
 
+# mapping char filter (MappingCharFilterFactory.java, reg.
+# AnalysisModule.java:476): literal rewrites BEFORE tokenization — the
+# transcript-normalization path (smart quotes → ascii, PII masks).
+_MAPPING_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(
+    lower(replace(replace(text, 'customer', 'client'), 'merge', 'combine')),
+    '[a-z0-9]+') AS t
+  FROM documents
+)
+SELECT tok, count(*) AS cnt
+FROM (SELECT unnest(t) AS tok FROM toks)
+GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 10
+""".strip()
+
+
+def _mapping_char_filter_query(spark, sf):
+    from elasticsearch_spark.analysis.analyzers import tokenize_column
+
+    cfg = AnalyzerConfig(
+        kind="simple",
+        char_filters=("mapping",),
+        char_filter_mappings=(("customer", "client"), ("merge", "combine")),
+    )
+    return (
+        _t(spark, sf, "documents")
+        .select(F.explode(tokenize_column("text", cfg)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(10)
+    )
+
+
+register("analysis_mapping_char_filter", _MAPPING_SQL)(
+    _mapping_char_filter_query
+)
+
+
+# pattern_replace char filter (PatternReplaceCharFilterFactory.java, reg.
+# AnalysisModule.java:419): global regex rewrite before tokenization —
+# numbers collapsed to one sentinel token here (the id/PII-mask shape).
+_PATREP_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(
+    lower(regexp_replace(text || ' id 12345 code 99', '[0-9]+', 'NUM', 'g')),
+    '[a-z0-9]+') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_filter(t, x -> x = 'num')) AS n_num
+FROM toks
+""".strip()
+
+
+def _pattern_replace_query(spark, sf):
+    from elasticsearch_spark.analysis.analyzers import tokenize_column
+
+    cfg = AnalyzerConfig(
+        kind="simple",
+        char_filters=("pattern_replace",),
+        char_filter_pattern="[0-9]+",
+        char_filter_replacement="NUM",
+    )
+    docs = _t(spark, sf, "documents").withColumn(
+        "wrapped", F.concat(F.col("text"), F.lit(" id 12345 code 99"))
+    )
+    toks = docs.select(
+        "doc_id", tokenize_column("wrapped", cfg).alias("t")
+    )
+    return toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size(F.filter("t", lambda x: x == "num")).alias("n_num"),
+    )
+
+
+register("analysis_pattern_replace", _PATREP_SQL)(_pattern_replace_query)
+
+
 _STEM_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -712,8 +793,8 @@ def _stemmed_reader(spark, sf_dir):
 
     key = os.path.abspath(sf_dir)
     if key not in _STEM_INDEX_CACHE:
-        idx_dir = os.path.join(
-            "/tmp/es_spark_idx_stem", key.strip("/").replace("/", "_")
+        idx_dir = os.path.join(  # v2: n_partitions matches _indexed_reader
+            "/tmp/es_spark_idx_stem_v2", key.strip("/").replace("/", "_")
         )
         if not os.path.exists(os.path.join(idx_dir, "meta.json")):
             cfg = IndexConfig(
@@ -723,7 +804,10 @@ def _stemmed_reader(spark, sf_dir):
                 analyzer=AnalyzerConfig(
                     kind="simple", token_filters=("porter_stem",)
                 ),
-                n_partitions=4,
+                # same partition layout as _indexed_reader: (segment_id,
+                # local_doc_id) spaces coincide, the field_masking_span
+                # alignment contract (query/spans.py)
+                n_partitions=8,
             )
             build_index(spark, _t(spark, sf_dir, "documents"), idx_dir, cfg)
         _STEM_INDEX_CACHE[key] = idx_dir
@@ -807,6 +891,26 @@ def _stemmed_values_oracle() -> str | None:
     if not docs:
         return None
     hits = pymirror.bm25_topk_mirror(docs, "merges grouping", k=10, stem=True)
+    return _values_sql(
+        [(str(k), f"{pymirror.spark_round(s, 4):.4f}") for k, s in hits],
+        ["doc_id", "score"],
+    )
+
+
+def _masked_span_values_oracle() -> str | None:
+    """span_field_masking expected rows — the mirror's OWN simple+porter
+    chains re-derive both fields' position streams; clause fields are in
+    the mirror's convention (main=raw text, masked=stemmed view), the
+    transpose of the entry's stemmed-primary reader pairing."""
+    from elasticsearch_spark.oracle import pymirror
+
+    docs = _mirror_docs()
+    if not docs:
+        return None
+    hits = pymirror.masked_span_near_mirror(
+        docs, [("masked", "merges"), ("main", "scan")], slop=4,
+        in_order=True, k=10,
+    )
     return _values_sql(
         [(str(k), f"{pymirror.spark_round(s, 4):.4f}") for k, s in hits],
         ["doc_id", "score"],
@@ -912,6 +1016,7 @@ def _mm_audio_values_oracle() -> str | None:
 
 _LAZY_ORACLES: dict[str, Callable[[], str | None]] = {
     "bm25_stemmed_match": _stemmed_values_oracle,
+    "span_field_masking": _masked_span_values_oracle,
     "dedup_minhash_lsh": _minhash_values_oracle,
     "dedup_simhash": _simhash_values_oracle,
     "dedup_embedding_cosine": _embcos_values_oracle,
@@ -928,8 +1033,13 @@ def _lazy_oracle(name: str) -> str | None:
     if key not in _VALUES_CACHE:
         try:
             _VALUES_CACHE[key] = _LAZY_ORACLES[name]() or ""
-        except Exception:
-            _VALUES_CACHE[key] = ""  # fixture trouble -> rows-only fallback
+        except (FileNotFoundError, OSError):
+            # ONLY fixture absence downgrades to rows-only; a genuine
+            # mirror computation error (round-4 advice: e.g. a
+            # ZeroDivisionError regression in pymirror) must propagate —
+            # silently hiding it would make a broken oracle look like a
+            # missing fixture.
+            _VALUES_CACHE[key] = ""
     return _VALUES_CACHE[key] or None
 
 
@@ -1014,6 +1124,63 @@ register(
     ),
 )(_span_entry("span_not_topk", "table", "fast", pre=1, post=1, k=10))
 
+register(
+    "span_term",
+    span_sql(
+        "len([p for p in range(1, len(t) + 1) if t[p] = 'vector'])",
+        ["vector"], k=12,
+    ),
+)(_span_entry("span_term_topk", "vector", k=12))
+
+register(
+    "span_or",
+    span_sql(
+        "len([p for p in range(1, len(t) + 1) if t[p] = 'scan'"
+        " OR t[p] = 'merge' OR t[p] = 'window'])",
+        ["scan", "merge", "window"], k=10,
+    ),
+)(_span_entry("span_or_topk", ["scan", "merge", "window"], k=10))
+
+# span_multi expansions are corpus-vocabulary facts: the generator's fixed
+# word list has exactly {scan, slow, small, sort, spark, stream} under
+# prefix 's' and {scan, small, spark} under wildcard 's?a*' — both well
+# under the max_expansions=50 cap, so the SQL oracle can enumerate the
+# idf terms literally while matching tokens by LIKE.
+register(
+    "span_multi_prefix",
+    span_sql(
+        "len([p for p in range(1, len(t) + 1) if t[p] LIKE 's%'])",
+        ["scan", "slow", "small", "sort", "spark", "stream"], k=10,
+    ),
+)(_span_entry("span_multi_topk", "s", kind="prefix", k=10))
+
+register(
+    "span_multi_wildcard",
+    span_sql(
+        "len([p for p in range(1, len(t) + 1) if t[p] LIKE 's_a%'])",
+        ["scan", "small", "spark"], k=10,
+    ),
+)(_span_entry("span_multi_topk", "s?a*", kind="wildcard", k=10))
+
+
+def _masked_span_query(spark, sf):
+    from elasticsearch_spark.query import spans
+
+    out = spans.field_masking_span_near_topk(
+        _stemmed_reader(spark, sf),
+        _indexed_reader(spark, sf),
+        [("main", "merges"), ("masked", "scan")],
+        slop=4, in_order=True, k=10,
+    )
+    return (
+        out.withColumn("score", F.round("score", 4))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+register("span_field_masking")(_masked_span_query)  # pymirror VALUES oracle
+
 
 _QS_SQL = f"""
 WITH {_ranges_cte()},
@@ -1086,6 +1253,28 @@ register(
         spark, sf, "table scan", k=10, filter_cond=filters.term("lang", "en")
     )
 )
+
+
+_ALIAS_PRED = "lang = 'en' AND source IN ('src1', 'src3', 'src5', 'src7')"
+
+
+def _alias_filtered_query(spark, sf):
+    """Search THROUGH a named filtered alias (index/aliases.py — the
+    IndexAliasesService.java analog): the stored predicate applies as
+    implicit filter context; the oracle inlines the same predicate."""
+    from elasticsearch_spark.index.aliases import put_alias
+
+    reader = _indexed_reader(spark, sf)
+    put_alias(reader.index_dir, "en_major_sources", _ALIAS_PRED)
+    return _indexed(
+        spark, sf, "window join", k=10, alias="en_major_sources"
+    )
+
+
+register(
+    "bm25_alias_filtered",
+    bm25_topk_sql(["window", "join"], k=10, filter_sql=_ALIAS_PRED),
+)(_alias_filtered_query)
 
 
 # _msearch: a heterogeneous query batch (OR / AND / filtered) in ONE job —
@@ -1341,6 +1530,54 @@ register("analyze_edge_ngram_tokens", _ANALYZE_EDGE_SQL)(
         ).alias("gram"),
     )
     .distinct()
+)
+
+# uax_url_email tokenizer (UAX29URLEmailTokenizerFactory analog): URLs and
+# emails survive as single tokens. Deterministic URL/email tail appended to
+# every doc; the oracle re-states the token grammar as one RE2 alternation
+# (URL | email | plain word — the corpus words are pure [a-z]+, so the
+# standard joiner cases don't arise and the alternation is exact here).
+_ANALYZE_URL_EMAIL_SQL = """
+WITH wrapped AS (
+  SELECT doc_id,
+         text || ' see https://example.com/a?b=1 or mail bob.smith+x@corp.example.org today' AS w
+  FROM documents WHERE doc_id < 40
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(w),
+    '(?:(?:https?|ftp)://|www\\.)[A-Za-z0-9.\\-/?#=&%+~_:@!$''()*,;]*[A-Za-z0-9/#=&%+~_\\-]|[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}|[a-z0-9]+'
+  ) AS t
+  FROM wrapped
+)
+SELECT doc_id,
+       unnest(generate_series(1, len(t))) - 1 AS pos,
+       unnest(t) AS token
+FROM toks
+""".strip()
+
+register("analyze_url_email_tokens", _ANALYZE_URL_EMAIL_SQL)(
+    lambda spark, sf: _t(spark, sf, "documents")
+    .where(F.col("doc_id") < 40)
+    .withColumn(
+        "wrapped",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                " see https://example.com/a?b=1 or mail"
+                " bob.smith+x@corp.example.org today"
+            ),
+        ),
+    )
+    .select(
+        "doc_id",
+        F.posexplode(
+            __import__(
+                "elasticsearch_spark.analysis.analyzers", fromlist=["x"]
+            ).tokenize_column(
+                "wrapped", AnalyzerConfig(kind="uax_url_email")
+            )
+        ).alias("pos", "token"),
+    )
 )
 
 register("analyze_whitespace_tokens", _ANALYZE_WS_SQL)(
@@ -2318,60 +2555,63 @@ register("percolate_queries", _PERCOLATE_SQL)(_percolate_query)
 # family member; their newest driver row stays r2 (exactly two rounds
 # back) and all remain pytest/verify_oracles-green locally.
 _DRIVER_PRIORITY = [
-    # new in r4: TTL partition-expiry plan, the _analyze debug API (4
-    # tokenizer kinds), date-math, _count, sub-agg-ordered terms
-    "ttl_expiry_plan",
-    "analyze_simple_tokens",
-    "analyze_whitespace_tokens",
-    "analyze_letter_tokens",
-    "analyze_edge_ngram_tokens",
-    "filter_date_math",
-    "count_query",
-    "agg_terms_order_by_subagg",
-    # r3 rows-only -> pymirror VALUES oracles this round (hash-green now)
-    "ann_ivf_indexed",
-    "ann_ivf_topk",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "multimodal_audio_decode",
-    "multimodal_features",
-    "multimodal_image_decode",
-    # spine rotation: newest driver row r2, re-recorded this round
-    "bm25_match_and",
-    "bm25_filtered",
-    "multi_match_best_fields",
-    "rescore_window",
-    "suggest_term",
-    "suggest_phrase",
-    "highlight_plain",
-    "more_like_this",
+    # new in r5: span-family completion, char filters, uax_url_email,
+    # filtered alias
+    "span_term",
+    "span_or",
+    "span_multi_prefix",
+    "span_multi_wildcard",
+    "span_field_masking",
+    "analysis_mapping_char_filter",
+    "analysis_pattern_replace",
+    "analyze_url_email_tokens",
+    "bm25_alias_filtered",
+    # code changed this round → re-evidence: bounded fuzzy_like_this
+    # expansion, hot-bucket loser routing, stem index realigned to 8
+    # partitions (field_masking alignment contract)
     "fuzzy_like_this",
-    "bm25_phrase",
-    "bm25_phrase_prefix",
-    "bm25_phrase_slop",
-    "analysis_html_strip",
-    "analysis_shingle_top",
-    "common_terms",
-    "span_first",
-    "span_near_ordered",
-    "query_string_bool",
-    "query_string_phrase_filter",
-    "bm25_indexed_term",
-    "bm25_indexed_or",
-    "bm25_indexed_filtered",
-    "filter_term",
-    "filter_terms_range",
-    "filter_wildcard",
-    "filter_exists_missing",
-    "filter_ids",
-    "filter_ttl_live",
-    "filter_bool",
-    "agg_extended_stats",
-    "agg_value_count_cardinality",
-    "agg_percentiles",
-    "agg_terms_topn",
-    "agg_histogram",
+    "dedup_minhash_lsh",
+    "bm25_stemmed_match",
+    # r2-stale driver rows (r4 verdict item 5) → rotate into the r5 window
+    "agg_stats",
+    "bm25_indexed_and",
+    "bm25_k100",
+    "bm25_match_msm2",
+    "bm25_phrase_trigram",
+    "bm25_zero_hits",
+    "filter_prefix",
+    "filter_regexp",
+    "fuzzy_query",
+    "multi_match_most_fields",
+    "span_near_unordered",
+    "span_not",
+    "suggest_completion",
+    # spine rotation: newest driver row r3, re-recorded this round
+    "scan_scroll_pages",
+    "search_after",
+    "from_size_page",
+    "join_nested_score",
+    "join_has_child",
+    "join_has_child_score",
+    "join_has_parent",
+    "join_top_children",
+    "join_terms_lookup",
+    "join_children_agg",
+    "agg_top_hits",
+    "agg_missing_global",
+    "agg_filters",
+    "agg_range",
+    "agg_date_histogram",
+    "search_then_aggs",
+    "dis_max_constant_score",
+    "boosting_min_score",
+    "function_score_decay",
+    "explain_score",
+    "sort_missing_first",
+    "percolate_queries",
+    "text_language_id",
+    "text_quality",
+    "text_token_count",
 ]
 
 

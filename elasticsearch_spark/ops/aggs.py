@@ -297,6 +297,10 @@ def significant_terms(
     j = counts.crossJoin(F.broadcast(tot)).where(
         (F.col("fg_count") >= min_doc_count) & (F.col("bg_count") > 0)
     )
+    # every NXY factor is double BEFORE any product: the reference's
+    # Frequencies are doubles (ChiSquare.java), and long products like
+    # N_1·N1_·N0_·N_0 exceed int64 around 1e5-count corpora — Spark
+    # non-ANSI would wrap silently.
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     n11 = d("fg_count")
     n_1 = d("fg_total")

@@ -101,10 +101,19 @@ def fuzzy_like_this(
             F.substring("term", 1, prefix_length)
             == F.substring("input", 1, prefix_length)
         )
+    # the max_query_terms highest-idf cut runs IN Spark: idf is strictly
+    # decreasing in df, so (idf DESC, term ASC) == (df ASC, term ASC) — a
+    # TakeOrderedAndProject over the pushed candidate scan, mirroring
+    # fuzzy_search_topk's bounded rewrite (query/executor.py). Over a
+    # 10^8-term dictionary a short sample term at fuzziness 2 can match
+    # tens of thousands of terms; only the <= max_query_terms winners
+    # ever reach the driver.
     rows = (
         cand.where(F.levenshtein(F.col("term"), F.col("input")) <= fuzziness)
         .select("term", "df")
         .distinct()
+        .orderBy(F.col("df").asc(), F.col("term").asc())
+        .limit(int(max_query_terms))
         .collect()
     )
     n = reader.n_docs
@@ -112,7 +121,7 @@ def fuzzy_like_this(
         ((lucene_idf(n, r["df"]), r["term"]) for r in rows),
         key=lambda x: (-x[0], x[1]),
     )
-    selected = [t for _, t in scored[:max_query_terms]]
+    selected = [t for _, t in scored]
     if not selected:
         from elasticsearch_spark.query.executor import _empty_result
 

@@ -699,3 +699,92 @@ def audio_stats(key: int, decimals: int = 4):
     rms = float(np.float32(np.sqrt(np.mean(pcm**2)))) if pcm.size else 0.0
     peak = float(np.float32(np.abs(pcm).max())) if pcm.size else 0.0
     return key, int(pcm.size), 8000, spark_round(rms, decimals), spark_round(peak, decimals)
+
+
+# ---------------------------------------------------------------------------
+# Field-masking span_near oracle (FieldMaskingSpanQuery semantics over a
+# text + text.stemmed sub-field pair; positions align because the mirror's
+# Porter chain is 1:1 position-preserving, same contract as the engine)
+# ---------------------------------------------------------------------------
+
+
+def masked_span_near_mirror(
+    docs: list[tuple[int, str]],
+    clauses: list[tuple[str, str]],
+    slop: int = 0,
+    in_order: bool = True,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[tuple[int, float]]:
+    """span_near over ("main"|"masked", term) clauses, the masked field
+    being the porter-stemmed view of the same token stream. freq = count
+    of anchor positions completing a greedy ordered chain (or unordered
+    pair) through the per-clause position lists; idf per clause term from
+    its OWN field's document frequencies; tfNorm from the shared doc
+    length. Mirrors query/spans.py field_masking_span_near_topk with zero
+    shared analysis code."""
+    if not in_order and len(clauses) != 2:
+        raise ValueError("unordered supports exactly 2 clauses")
+    qterms = []  # analyzed per clause, by its own field's chain
+    for fld, word in clauses:
+        t = simple_tokens(word)
+        t = t[0] if t else ""
+        if fld == "masked":
+            t = porter_stem_mirror(t)
+        qterms.append((fld, t))
+    streams: dict[int, dict[str, list[str]]] = {}
+    dls: dict[int, int] = {}
+    total = 0
+    for key, text in docs:
+        raw = simple_tokens(text)
+        streams[key] = {"main": raw,
+                        "masked": [porter_stem_mirror(x) for x in raw]}
+        dls[key] = len(raw)
+        total += len(raw)
+    n = len(docs)
+    avgdl = total / n if n else 1.0
+    dfs = {
+        (fld, t): sum(1 for s in streams.values() if t in s[fld])
+        for fld, t in set(qterms)
+    }
+    sum_idf = sum(
+        math.log(1.0 + (n - dfs[key_] + 0.5) / (dfs[key_] + 0.5))
+        for key_ in dict.fromkeys(qterms)
+    )
+    scored = []
+    for key in streams:
+        pos_lists = [
+            [p for p, tok in enumerate(streams[key][fld], start=1) if tok == t]
+            for fld, t in qterms
+        ]
+        if any(not pl for pl in pos_lists):
+            continue
+        freq = 0
+        if in_order:
+            nq = len(qterms)
+            for p in pos_lists[0]:
+                cur = p
+                ok = True
+                for pl in pos_lists[1:]:
+                    nxt = next((q for q in pl if q > cur), None)
+                    if nxt is None:
+                        ok = False
+                        break
+                    cur = nxt
+                if ok and cur - p - (nq - 1) <= slop:
+                    freq += 1
+        else:
+            aa, bb = pos_lists
+            for p in aa:
+                if any(q != p and abs(q - p) - 1 <= slop for q in bb):
+                    freq += 1
+        if freq == 0:
+            continue
+        dl_eff = effective_doc_len_mirror(dls[key])
+        s = sum_idf * freq * (k1 + 1.0) / (
+            freq + k1 * (1.0 - b + b * dl_eff / avgdl)
+        )
+        scored.append((key, s))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    return scored[:k]

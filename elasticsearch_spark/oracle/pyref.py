@@ -420,6 +420,33 @@ class PyRefEngine:
         hits.sort(key=lambda kv: (-kv[1], kv[0]))
         return hits[:k]
 
+    def span_or(
+        self, terms: Sequence[str], k: int = 10, pre_analyzed: bool = False,
+    ) -> list[tuple[Any, float]]:
+        """SpanOrQuery: freq = distinct matching positions across clauses;
+        idf summed over the distinct clause terms."""
+        if pre_analyzed:
+            toks = [t for t in terms if t]
+        else:
+            toks = [
+                t0 for t0 in
+                ((tokenize_text(w, self.analyzer) or [""])[0] for w in terms)
+                if t0
+            ]
+        toks = list(dict.fromkeys(toks))
+        sum_idf = sum(self.idf(t) for t in toks)
+        freqs: dict[Any, set] = defaultdict(set)
+        for t in toks:
+            for key, plist in self.positions.get(t, {}).items():
+                freqs[key].update(plist)
+        hits = [
+            (key, self._tfnorm_score(key, len(ps), sum_idf))
+            for key, ps in freqs.items()
+            if ps
+        ]
+        hits.sort(key=lambda kv: (-kv[1], kv[0]))
+        return hits[:k]
+
     def span_not(
         self, include: str, exclude: str, pre: int = 0, post: int = 0,
         k: int = 10,

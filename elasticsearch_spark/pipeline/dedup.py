@@ -29,9 +29,20 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     one split, and everything upstream of the first shuffle then runs on
     ONE core — measured 9 s of a 12 s signature stage at sf0.1). The
     repartition shuffles only the raw (key, text) rows; inputs already at
-    cluster parallelism (the 100 TB case) pass through untouched."""
+    cluster parallelism (the 100 TB case) pass through untouched.
+
+    Probe: ``inputFiles()`` — plan metadata only. The old
+    ``df.rdd.getNumPartitions()`` probe forced a full RDD conversion of
+    the plan on every dedup/IVF call (round-4 verdict). A many-splits
+    single file can over-trigger the repartition (file count underestimates
+    splits); the cost is one bounded (key, text) shuffle, versus a
+    one-core explode stage when under-triggering — the right side to err."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plan (local relation, views)
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 
@@ -109,9 +120,10 @@ def minhash_lsh_candidates(
 
     ``max_bucket`` drops degenerate hot buckets before the self-join —
     a bucket of m keys contributes m·(m-1)/2 pairs, so one hot bucket can
-    dominate the whole join (the skew guard the 100 TB path requires;
-    dropped buckets are boilerplate-like clusters better handled by exact
-    dedup on the band hash itself)."""
+    dominate the whole join (the skew guard the 100 TB path requires).
+    Dropped buckets are boilerplate-like clusters; minhash_dedup routes
+    their members through minhash_hot_bucket_losers (exact-signature
+    dedup, O(m)) so being hot never exempts a cluster from dedup."""
     banded = sig.select(
         "key",
         F.explode(
@@ -147,6 +159,63 @@ def minhash_lsh_candidates(
         )
         .select(F.col("l.key").alias("key_a"), F.col("r.key").alias("key_b"))
         .distinct()
+    )
+
+
+def minhash_hot_bucket_losers(
+    sig: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Exact-signature dedup for the members of over-``max_bucket`` LSH
+    buckets — the skew guard's complement.
+
+    A bucket the pair-join skips (m > max_bucket would emit m(m-1)/2
+    pairs) is almost always a boilerplate cluster: its dominant failure
+    mode is thousands of IDENTICAL documents, whose full 64-hash
+    signatures agree exactly. Those are certain near-dups (estimated
+    Jaccard 1.0), and they reduce by ONE O(m) groupBy on the signature —
+    keep the smallest key per identical-signature group, the rest are
+    losers. Hot-bucket members with non-identical signatures remain
+    unpaired (documented residual: sub-identical boilerplate variants
+    inside a hot bucket are not verified — the price of skipping the m²
+    join).
+
+    Returns a one-column (key) DataFrame of losers."""
+    banded = sig.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("minhash")[b * rows_per_band + r]
+                              for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("key", "bb.band", "bb.bucket")
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket)
+        .select("band", "bucket")
+    )
+    hot_keys = (
+        banded.join(hot, ["band", "bucket"], "left_semi")
+        .select("key").distinct()
+    )
+    grp = Window.partitionBy(F.xxhash64(F.col("minhash").cast("string")))
+    return (
+        sig.join(hot_keys, "key", "left_semi")
+        .withColumn("__keep", F.min("key").over(grp))
+        .where(F.col("key") != F.col("__keep"))
+        .select("key")
     )
 
 
@@ -228,12 +297,26 @@ def minhash_dedup(
     verified = ngram_jaccard_pairs(
         df, text_col, key_col, est.select("key_a", "key_b"), shingle_size
     ).where(F.col("jaccard") >= threshold)
+    # over-max_bucket buckets skip the pair join (skew guard) — their
+    # identical-signature members still dedup, via one O(m) groupBy
+    # (minhash_hot_bucket_losers); without this, a 10^5-doc boilerplate
+    # cluster would sail through untouched BECAUSE it is hot
+    hot_losers = minhash_hot_bucket_losers(
+        sig, bands, num_hashes // bands, max_bucket
+    ).withColumnRenamed("key", key_col)
     # materialize the (small) loser-key set now, while sig is cached, then
-    # release the signature cache — no session-lifetime storage leak; the
-    # returned plan depends only on df + the loser keys
-    losers = verified.select(F.col("key_b").alias(key_col)).distinct()
-    losers = losers.persist(StorageLevel.MEMORY_AND_DISK)
-    losers.count()
+    # release the signature cache. localCheckpoint (not persist): the
+    # blocks are lineage-truncated AND freed by the ContextCleaner once
+    # the returned plan is dropped — persist() pins the CacheManager entry
+    # for the session lifetime unless every caller remembers to unpersist
+    # (round-4 advice). Not collect(): loser sets at corpus scale are
+    # millions of keys, not a driver-side literal.
+    losers = (
+        verified.select(F.col("key_b").alias(key_col))
+        .unionByName(hot_losers)
+        .distinct()
+    )
+    losers = losers.localCheckpoint(eager=True)
     sig.unpersist()
     return df.join(losers, key_col, "left_anti")
 

@@ -46,6 +46,21 @@ def _ijoin(base: str, *parts: str) -> str:
 # broadcast-join fetch replaces the driver-side serial segment reads
 _DRIVER_FETCH_MAX_ROWS = 5000
 _DRIVER_FETCH_MAX_SEGS = 64
+# gather budget: past segments x k candidate rows, cut to the global
+# top-k(+ties) IN Spark before collecting (same hatch as query/msearch.py)
+_GATHER_MAX_ROWS = 200_000
+
+
+def _n_segments(reader: IndexReader) -> int:
+    """Segment count, memoized per reader: from the cached local norms when
+    driver-readable, else ONE count() job on the (tiny) norms table."""
+    n = getattr(reader, "_n_segments_cache", None)
+    if n is None:
+        norms = reader.local_norms()
+        n = (len(norms) if norms is not None
+             else reader.norms().select("segment_id").count())
+        reader._n_segments_cache = n
+    return n
 
 # below this corpus size the filter-context polarity optimization is pure
 # scheduling overhead (see _filter_sets)
@@ -311,6 +326,7 @@ def search_topk(
     extra_cols: Iterable[str] = (),
     mode: str = "auto",
     local_postings_limit: int = 2_000_000,
+    alias: str | None = None,
 ) -> DataFrame:
     """match-query top-k: analyze text → BM25 union/intersection → top-k.
 
@@ -318,6 +334,11 @@ def search_topk(
     minimum_should_match, AND operator); BM25 with global DFS stats; filters
     are non-scoring (filter context). Returns ≤ k rows
     (key_cols..., extra_cols..., score) in (score DESC, key ASC) order.
+
+    ``alias``: search through a named filtered alias — the alias's stored
+    predicate (index/aliases.py, IndexAliasesService.java analog) is
+    AND-combined with ``filter_cond`` and applied as ordinary non-scoring
+    filter context.
 
     ``mode``: "spark" always scatters the scoring over executors (the
     distributed path — required at cluster scale); "local" scores on the
@@ -331,6 +352,10 @@ def search_topk(
     """
     cfg = reader.cfg
     key_cols = list(cfg.key_cols)
+    if alias is not None:
+        from elasticsearch_spark.index.aliases import alias_filter
+
+        filter_cond = alias_filter(reader, alias, filter_cond)
 
     tokens = tokenize_text(query_text, cfg.analyzer)
     if not tokens:
@@ -420,7 +445,10 @@ def fuzzy_search_topk(
 
     ``max_expansions`` mirrors Lucene FuzzyQuery's top-terms rewrite
     (default 50): keep the closest-edit terms first (Lucene's boost order),
-    breaking ties by df desc then term asc — a bounded expansion set, so a
+    breaking ties by df desc then term asc. The df-desc tiebreak is a
+    deliberate divergence: Lucene's TopTermsRewrite breaks equal-boost ties
+    by term order alone; preferring the higher-df term keeps the expansion
+    set's recall higher at the same cap. Either way a bounded set, so a
     short term with fuzziness=2 over a 10^8-term dictionary cannot push a
     giant In() filter through the plan. The top-terms cut runs in Spark
     (TakeOrderedAndProject over the pushed candidate scan); only the ≤50
@@ -1112,15 +1140,22 @@ def _execute(
     est_postings: int,
     local_postings_limit: int,
     columns: list[str],
+    postings_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared scatter/gather/fetch pipeline for match and phrase queries."""
+    """Shared scatter/gather/fetch pipeline for match and phrase queries.
+
+    ``postings_df``: pre-built postings scan (already term-pruned and
+    term-namespaced) replacing ``reader.postings()`` — the
+    field_masking_span path, which unions postings from two position-
+    aligned indexes. Forces the distributed path (the driver-local
+    fastpath reads a single index directory)."""
     key_cols = list(reader.cfg.key_cols)
 
-    if mode == "local" or (
+    if postings_df is None and (mode == "local" or (
         mode == "auto"
         and est_postings <= local_postings_limit
         and fsio.driver_readable(reader.index_dir)
-    ):
+    )):
         allowed_map = None
         if filter_cond is not None:
             # one narrow Spark job: per-segment filter sets (smaller polarity
@@ -1142,7 +1177,7 @@ def _execute(
         reader.postings()
         .where(F.col("term").isin(present))
         .select("segment_id", *columns)
-    )
+    ) if postings_df is None else postings_df.select("segment_id", *columns)
     aux = reader.norms().select("segment_id", "n_docs", "doc_len_packed")
     from elasticsearch_spark.index.deletes import deletes_df
 
@@ -1173,6 +1208,22 @@ def _execute(
     # winning rows straight out of the touched segments' doc tables with
     # pyarrow predicate pushdown (FetchPhase.java:103-157 — the coordinator
     # loads k stored documents; a distributed join for k rows is waste).
+    #
+    # distributed-merge escape hatch: on a pre-merge index with 10^4-10^5
+    # segments the per-segment top-k rows alone would swamp the driver —
+    # past the budget, rank() keeps exactly the global top-k tie group the
+    # driver-side theta cut below would keep (results identical), so only
+    # <= k(+ties) rows ever reach collect(). The single-partition window
+    # sorts <= segments x k narrow rows JVM-side — the lesser evil by far.
+    if _n_segments(reader) * k > _GATHER_MAX_ROWS:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("score").desc())
+        cand = (
+            cand.withColumn("__rnk", F.rank().over(w))
+            .where(F.col("__rnk") <= k)
+            .drop("__rnk")
+        )
     rows = cand.collect()
     if not rows:
         return _empty_result(reader, extra_cols)

@@ -63,7 +63,9 @@ def msearch_topk(
 
     Each query mapping supports: ``query_text`` (required), ``operator``
     ("or"/"and"), ``minimum_should_match``, ``filter_cond`` (a Column or
-    None), ``k`` (per-query override of the batch default).
+    None), ``alias`` (a named filtered alias — index/aliases.py — whose
+    stored predicate joins the query's filter context), ``k`` (per-query
+    override of the batch default).
 
     Returns (query_id, *key_cols, *extra_cols, score) with ``query_id``
     the 0-based position in ``queries``; per query <= k rows ordered
@@ -184,6 +186,13 @@ def _msearch_candidates(reader, queries, k):
             t: toks.count(t) * lucene_idf(n, stats[t][0]) for t in present
         }
         fc = q.get("filter_cond")
+        if q.get("alias") is not None:
+            # search-through-alias: the stored predicate joins this query's
+            # filter context (dedup below still applies — two queries over
+            # the same alias share one filter-set pass)
+            from elasticsearch_spark.index.aliases import alias_filter
+
+            fc = alias_filter(reader, q["alias"], fc)
         if fc is None:
             fid = -1
         else:

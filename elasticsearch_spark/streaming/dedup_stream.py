@@ -54,6 +54,12 @@ def streaming_exact_dedup(
         F.xxhash64(F.col(text_col)).alias("text_hash"),
     )
     use_timeout = timeout == "ProcessingTimeTimeout"
+    # key/state width follows the caller's key column (long doc ids,
+    # string conv_ids, ...) — round-4 advice: the schema was hard-coded
+    # 'long' and int(best) broke string keys at runtime
+    key_sql = stream_df.schema[key_col].dataType.simpleString()
+    key_is_int = key_sql in ("tinyint", "smallint", "int", "bigint", "long")
+    norm = (lambda v: int(v)) if key_is_int else (lambda v: v)
 
     def dedup_fn(
         key: tuple,
@@ -75,15 +81,15 @@ def streaming_exact_dedup(
                 best = m if best is None else min(best, m)
         if best is None:
             return
-        state.update((int(best),))
+        state.update((norm(best),))
         if use_timeout:
             state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame({"key": [best], "text_hash": [key[0]]})
 
     return hashed.groupBy("text_hash").applyInPandasWithState(
         dedup_fn,
-        outputStructType="key long, text_hash long",
-        stateStructType="first_key long",
+        outputStructType=f"key {key_sql}, text_hash long",
+        stateStructType=f"first_key {key_sql}",
         outputMode="append",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )

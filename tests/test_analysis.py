@@ -122,3 +122,96 @@ def test_stopwords_sql_python_parity(spark):
     got = [list(r[0]) for r in df.select(tokenize_column("text", cfg)).collect()]
     assert got == [tokenize_text(t, cfg) for t in texts]
     assert got[0] == ["quick", "fox"] and got[1] == []
+
+
+def test_mapping_char_filter_golden():
+    cfg = AnalyzerConfig(
+        kind="simple",
+        char_filters=("mapping",),
+        char_filter_mappings=(("’", "'"), ("customer", "client")),
+    )
+    assert tokenize_text("the customer’s order", cfg) == [
+        "the", "client", "s", "order"
+    ]
+    # declared order: later pairs see earlier pairs' output
+    cfg2 = AnalyzerConfig(
+        kind="simple",
+        char_filters=("mapping",),
+        char_filter_mappings=(("ab", "x"), ("xc", "y")),
+    )
+    assert tokenize_text("abc", cfg2) == ["y"]
+
+
+def test_pattern_replace_char_filter_golden():
+    cfg = AnalyzerConfig(
+        kind="simple",
+        char_filters=("pattern_replace",),
+        char_filter_pattern="[0-9]+",
+        char_filter_replacement="NUM",
+    )
+    assert tokenize_text("order 123 of 9", cfg) == ["order", "num", "of", "num"]
+
+
+def test_char_filters_sql_python_parity(spark):
+    """mapping / pattern_replace: native-SQL and Python paths agree
+    (MappingCharFilterFactory.java, PatternReplaceCharFilterFactory.java —
+    reg. AnalysisModule.java:476,419)."""
+    from elasticsearch_spark.analysis.analyzers import tokenize_column
+
+    texts = ["customer 12 customer", "no digits here", "", "99 bottles"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    cfgs = [
+        AnalyzerConfig(
+            kind="simple", char_filters=("mapping",),
+            char_filter_mappings=(("customer", "client"), ("9", "nine ")),
+        ),
+        AnalyzerConfig(
+            kind="simple", char_filters=("pattern_replace",),
+            char_filter_pattern="[0-9]+", char_filter_replacement=" N ",
+        ),
+        AnalyzerConfig(
+            kind="simple", char_filters=("mapping", "pattern_replace"),
+            char_filter_mappings=(("customer", "client77"),),
+            char_filter_pattern="[0-9]+", char_filter_replacement="X",
+        ),
+    ]
+    for cfg in cfgs:
+        got = [list(r[0]) for r in df.select(tokenize_column("text", cfg)).collect()]
+        want = [tokenize_text(t, cfg) for t in texts]
+        assert got == want, cfg
+        # the pandas batch path agrees too (builder hot path)
+        assert list(analyze_series(pd.Series(texts), cfg)) == want, cfg
+
+
+UAX_GOLDEN = [
+    (
+        "see https://example.com/a?b=1 now",
+        ["see", "https://example.com/a?b=1", "now"],
+    ),
+    (
+        "mail bob.smith+x@corp.example.org today",
+        ["mail", "bob.smith+x@corp.example.org", "today"],
+    ),
+    ("at www.example.com.", ["at", "www.example.com"]),  # trailing dot cut
+    (
+        "ftp://files.example.org/pub/x.tgz, done",
+        ["ftp://files.example.org/pub/x.tgz", "done"],
+    ),
+    ("no urls here 3.14", ["no", "urls", "here", "3.14"]),
+    ("HTTPS://UPPER.example/Q", ["https://upper.example/q"]),  # lowercased
+    ("", []),
+]
+
+
+@pytest.mark.parametrize("text,expected", UAX_GOLDEN)
+def test_uax_url_email_golden(text, expected):
+    cfg = AnalyzerConfig(kind="uax_url_email")
+    assert tokenize_text(text, cfg) == expected
+
+
+def test_uax_url_email_series_matches_scalar():
+    cfg = AnalyzerConfig(kind="uax_url_email")
+    texts = [t for t, _ in UAX_GOLDEN]
+    assert list(analyze_series(pd.Series(texts), cfg)) == [
+        tokenize_text(t, cfg) for t in texts
+    ]

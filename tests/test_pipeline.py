@@ -228,3 +228,32 @@ def test_ivf_indexed_recall(spark, emb, tmp_path):
     # near-uniform (no cluster structure), which caps hyperplane-LSH recall
     # at this scan fraction (22/64 cells) — a data property, not a code one
     assert len(exact & approx) >= 7
+
+
+def test_minhash_hot_bucket_cluster_still_dedups(spark):
+    """A boilerplate cluster LARGER than max_bucket skips the pair join
+    (skew guard) but must still reduce via the exact-signature route
+    (minhash_hot_bucket_losers) — being hot cannot exempt it from dedup."""
+    boiler = "identical boilerplate banner text repeated everywhere verbatim"
+    rows = [(i, boiler) for i in range(30)]  # one hot cluster
+    rows += [(100 + i, f"unique document number {i} with its own words {i}")
+             for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.minhash_dedup(
+        df, "text", "doc_id", threshold=0.8, max_bucket=10
+    )
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # exactly one survivor (the smallest key) of the hot cluster; all
+    # unique docs kept
+    assert kept == [0] + [100 + i for i in range(8)]
+
+
+def test_minhash_hot_bucket_losers_ignores_cold_buckets(spark):
+    rows = [(i, f"plainly distinct content {i} {'x' * (i % 7)}")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.minhash_signatures(df, "text", "doc_id", num_hashes=32)
+    losers = dedup.minhash_hot_bucket_losers(
+        sig, bands=8, rows_per_band=4, max_bucket=200
+    )
+    assert losers.count() == 0

@@ -154,3 +154,43 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_root):
         ).collect()
     )
     assert got == want == [0, 1, 3, 5, 7]
+
+
+def test_streaming_exact_dedup_string_keys(spark, tmp_root):
+    """Round-4 advice: the output/state schema follows the key column's
+    type — string conv_id-style keys work end to end."""
+    import pandas as pd
+
+    from elasticsearch_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    corpus = pd.DataFrame(
+        {
+            "conv_id": [f"conv-{i:03d}" for i in range(6)],
+            "text": ["a b", "c d", "a b", "e f", "c d", "g h"],
+        }
+    )
+    src = f"{tmp_root}/dedup_stream_str_src"
+    os.makedirs(src, exist_ok=True)
+    for i in range(0, len(corpus), 3):
+        spark.createDataFrame(corpus.iloc[i : i + 3]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/chunk{i // 3}")
+    out_rows = []
+    stream = (
+        spark.readStream.schema("conv_id string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk*")
+    )
+    q = (
+        streaming_exact_dedup(stream, "text", "conv_id")
+        .writeStream.foreachBatch(
+            lambda df, bid: out_rows.extend(df.collect())
+        )
+        .option("checkpointLocation", f"{tmp_root}/dedup_stream_str_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(900), "stream did not drain in bound"
+    assert sorted(r["key"] for r in out_rows) == [
+        "conv-000", "conv-001", "conv-003", "conv-005"
+    ]
