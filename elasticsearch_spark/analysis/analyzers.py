@@ -104,6 +104,20 @@ def _chunk_long(tokens: list[str], max_len: int) -> list[str]:
     return out
 
 
+def _path_hierarchy(text: str, delim: str) -> list[str]:
+    """PathHierarchyTokenizerFactory.java analog (defaults: delimiter '/',
+    skip 0): every ancestor prefix of the delimited value, leading-empty
+    prefix dropped so "/a/b" → ["/a", "/a/b"] like the reference."""
+    if not text:
+        return []
+    parts = text.split(delim)
+    return [
+        p
+        for p in (delim.join(parts[: i + 1]) for i in range(len(parts)))
+        if p != ""
+    ]
+
+
 def _char_filter_text(text: str, cfg: AnalyzerConfig) -> str:
     for name in cfg.char_filters:
         if name == "html_strip":
@@ -151,6 +165,14 @@ def make_token_filter(cfg: AnalyzerConfig):
             funcs.append(porter_stem)
         elif name == "synonym":
             funcs.append(lambda t: syn.get(t, t))
+        elif name == "trim":
+            # TrimTokenFilterFactory.java — strip surrounding whitespace
+            # (only reachable with tokenizers that keep it, e.g. keyword)
+            funcs.append(str.strip)
+        elif name == "reverse":
+            # ReverseTokenFilterFactory.java — reversed terms, the classic
+            # leading-wildcard acceleration index
+            funcs.append(lambda t: t[::-1])
         else:
             raise ValueError(f"unknown token filter: {name}")
 
@@ -202,6 +224,8 @@ def tokenize_text(text: str, cfg: AnalyzerConfig | None = None) -> list[str]:
         toks = [t for t in re.split(cfg.pattern, text, flags=re.ASCII) if t != ""]
         if cfg.lowercase:
             toks = [t.lower() for t in toks]
+    elif cfg.kind == "path_hierarchy":
+        toks = _path_hierarchy(text, cfg.path_delimiter)
     else:
         raise ValueError(f"unknown analyzer kind: {cfg.kind}")
     if cfg.stopwords:
@@ -237,6 +261,9 @@ def analyze_series(s: pd.Series, cfg: AnalyzerConfig | None = None) -> pd.Series
         toks = s.str.findall(_WHITESPACE_RE)
     elif cfg.kind == "keyword":
         toks = s.map(lambda t: [t] if t else [])
+    elif cfg.kind == "path_hierarchy":
+        d = cfg.path_delimiter
+        toks = s.map(lambda t: _path_hierarchy(t, d))
     else:
         raise ValueError(f"unknown analyzer kind: {cfg.kind}")
     if cfg.stopwords:
@@ -417,8 +444,14 @@ def sql_tokenize_expr(col: str, cfg: AnalyzerConfig) -> str | None:
     tokenizer, or any non-1:1-SQL token filter like porter_stem).
     html_strip and shingles stay JVM-side.
     """
+    sql_filters = None
     if cfg.token_filters:
-        return None  # porter/asciifold/synonym → pandas path
+        if all(f in ("trim", "reverse") for f in cfg.token_filters):
+            sql_filters = "x"
+            for f in cfg.token_filters:  # 1:1, composed in tuple order
+                sql_filters = f"{f}({sql_filters})"
+        else:
+            return None  # porter/asciifold/synonym → pandas path
     src = sql_char_filter_expr(col, cfg)
     if not src:
         return None
@@ -428,7 +461,8 @@ def sql_tokenize_expr(col: str, cfg: AnalyzerConfig) -> str | None:
         # split on runs of whitespace, drop empty edge tokens
         base = f"filter(split({src}, '\\\\s+'), x -> x != '')"
     elif cfg.kind == "keyword":
-        base = f"array({src})"
+        # drop the empty value like the Python path ([text] if text else [])
+        base = f"filter(array({src}), x -> x != '')"
     elif cfg.kind == "letter":
         inner = f"regexp_extract_all({src}, '[A-Za-z]+', 0)"
         base = f"transform({inner}, x -> lower(x))" if cfg.lowercase else inner
@@ -451,6 +485,15 @@ def sql_tokenize_expr(col: str, cfg: AnalyzerConfig) -> str | None:
         pat = cfg.pattern.replace("\\", "\\\\").replace("'", "\\'")
         inner = f"filter(split({src}, '{pat}'), x -> x != '')"
         base = f"transform({inner}, x -> lower(x))" if cfg.lowercase else inner
+    elif cfg.kind == "path_hierarchy":
+        # split takes a Java regex — quote the literal delimiter
+        pat = re.escape(cfg.path_delimiter).replace("\\", "\\\\")
+        d = _sql_str(cfg.path_delimiter)
+        parts = f"split({src}, '{pat}')"
+        base = (
+            f"filter(transform(sequence(1, size({parts})),"
+            f" i -> array_join(slice({parts}, 1, i), '{d}')), x -> x != '')"
+        )
     else:
         return None
     if cfg.stopwords:
@@ -458,6 +501,9 @@ def sql_tokenize_expr(col: str, cfg: AnalyzerConfig) -> str | None:
         # consistent with tokenize_text's stopword removal
         stops = ", ".join("'" + w.replace("'", "\\'") + "'" for w in cfg.stopwords)
         base = f"filter({base}, x -> NOT array_contains(array({stops}), x))"
+    if sql_filters is not None:
+        # same position as make_token_filter: after stopwords, before shingle
+        base = f"transform({base}, x -> {sql_filters})"
     if cfg.shingle_size > 1:
         n = cfg.shingle_size
         base = (

@@ -54,6 +54,10 @@ class AnalyzerConfig:
         (UAX29URLEmailTokenizerFactory; practical regex approximation of
         the reference's JFlex RFC grammars — divergence documented at
         analyzers.URL_TOKEN_PATTERN).
+      - "path_hierarchy": emit every ancestor prefix of a
+        ``path_delimiter``-separated value (PathHierarchyTokenizerFactory
+        .java defaults: delimiter '/', skip 0) — "/a/b/c" →
+        ["/a", "/a/b", "/a/b/c"]. SQL-expressible on both engines.
     """
 
     kind: str = "standard"
@@ -62,6 +66,9 @@ class AnalyzerConfig:
     ngram_min: int = 1
     ngram_max: int = 2
     pattern: str = r"\W+"
+    # "path_hierarchy" tokenizer delimiter (PathHierarchyTokenizerFactory
+    # .java DELIMITER default '/'). A literal, not a regex.
+    path_delimiter: str = "/"
     stopwords: tuple[str, ...] = ()  # standard analyzer default: empty set
     # char filters, applied to the raw text before tokenization, in order.
     # Supported: "html_strip" (HtmlStripCharFilterFactory.java),
@@ -85,8 +92,11 @@ class AnalyzerConfig:
     # Supported: "asciifolding" (ASCIIFoldingTokenFilterFactory.java),
     # "porter_stem" (PorterStemTokenFilterFactory.java), "synonym"
     # (SynonymTokenFilterFactory.java — 1:1 contraction pairs from
-    # ``synonyms``). All are 1:1 → token counts/positions are unchanged,
-    # so they run at vocabulary level in the builder hot path.
+    # ``synonyms``), "trim" (TrimTokenFilterFactory.java) and "reverse"
+    # (ReverseTokenFilterFactory.java — the leading-wildcard index trick).
+    # All are 1:1 → token counts/positions are unchanged, so they run at
+    # vocabulary level in the builder hot path; trim/reverse additionally
+    # stay SQL-expressible (transform(..., x -> reverse(trim(x)))).
     token_filters: tuple[str, ...] = ()
     synonyms: tuple[tuple[str, str], ...] = ()
     # ShingleTokenFilterFactory.java: when > 1, emit unigrams + adjacent

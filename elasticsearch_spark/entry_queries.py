@@ -1580,6 +1580,59 @@ register("analyze_url_email_tokens", _ANALYZE_URL_EMAIL_SQL)(
     )
 )
 
+# path_hierarchy tokenizer (PathHierarchyTokenizerFactory.java defaults:
+# delimiter '/', skip 0): every ancestor prefix of a '/'-joined value.
+# The synthetic path '/<source>/<lang>' has exactly two levels, so the
+# oracle can state the token stream literally per row.
+_ANALYZE_PATH_SQL = """
+SELECT doc_id, 0 AS pos, '/' || source AS token
+FROM documents WHERE doc_id < 40
+UNION ALL
+SELECT doc_id, 1 AS pos, '/' || source || '/' || lang AS token
+FROM documents WHERE doc_id < 40
+""".strip()
+
+register("analyze_path_hierarchy_tokens", _ANALYZE_PATH_SQL)(
+    lambda spark, sf: _t(spark, sf, "documents")
+    .where(F.col("doc_id") < 40)
+    .withColumn(
+        "path", F.concat(F.lit("/"), F.col("source"), F.lit("/"), F.col("lang"))
+    )
+    .select(
+        "doc_id",
+        F.posexplode(
+            __import__(
+                "elasticsearch_spark.analysis.analyzers", fromlist=["x"]
+            ).tokenize_column("path", AnalyzerConfig(kind="path_hierarchy"))
+        ).alias("pos", "token"),
+    )
+)
+
+# reverse token filter (ReverseTokenFilterFactory.java — the
+# leading-wildcard index trick) composed on the SQL-expressible simple
+# analyzer; stays entirely JVM-side on the Spark plan.
+_ANALYZE_REVERSE_SQL = """
+SELECT doc_id,
+       unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) - 1 AS pos,
+       reverse(unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token
+FROM documents WHERE doc_id < 40
+""".strip()
+
+register("analyze_reverse_tokens", _ANALYZE_REVERSE_SQL)(
+    lambda spark, sf: _t(spark, sf, "documents")
+    .where(F.col("doc_id") < 40)
+    .select(
+        "doc_id",
+        F.posexplode(
+            __import__(
+                "elasticsearch_spark.analysis.analyzers", fromlist=["x"]
+            ).tokenize_column(
+                "text", AnalyzerConfig(kind="simple", token_filters=("reverse",))
+            )
+        ).alias("pos", "token"),
+    )
+)
+
 register("analyze_whitespace_tokens", _ANALYZE_WS_SQL)(
     lambda spark, sf: _t(spark, sf, "documents")
     .where(F.col("doc_id") < 40)
@@ -1728,6 +1781,50 @@ register(
 )(
     lambda spark, sf: aggs.range_agg(
         _t(spark, sf, "documents"), "n_chars", [(None, 100), (100, 300), (300, None)]
+    )
+)
+
+# ipv4_range agg (bucket/range/ipv4/, IpFieldMapper.java:375 ipToLong):
+# a deterministic dotted-quad column derived from event_id, bucketed by two
+# explicit [from, to) IP bounds plus one CIDR mask (overlapping the pair —
+# RangeAggregator allows overlap). The oracle re-derives the string→long
+# parse from the STRING, so the conversion itself is value-checked.
+# Constants: ipToLong(10.0.8.0)=167774208, (10.0.32.0)=167780352,
+# cidr 10.0.0.0/19 → [167772160, 167780352).
+_AGG_IP_RANGE_SQL = """
+WITH ips AS (
+  SELECT printf('10.%d.%d.%d', (event_id // 65536) % 256,
+                (event_id // 256) % 256, event_id % 256) AS ip
+  FROM events
+), v AS (
+  SELECT CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+       + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+       + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+       + CAST(string_split(ip, '.')[4] AS BIGINT) AS val
+  FROM ips
+)
+SELECT range_key, count(*) AS doc_count FROM (
+  SELECT '*-10.0.8.0' AS range_key FROM v WHERE val < 167774208
+  UNION ALL
+  SELECT '10.0.8.0-10.0.32.0' FROM v WHERE val >= 167774208 AND val < 167780352
+  UNION ALL
+  SELECT '10.0.0.0/19' FROM v WHERE val >= 167772160 AND val < 167780352
+) GROUP BY range_key
+""".strip()
+
+register("agg_ip_range", _AGG_IP_RANGE_SQL)(
+    lambda spark, sf: aggs.ip_range_agg(
+        _t(spark, sf, "events").withColumn(
+            "ip",
+            F.format_string(
+                "10.%d.%d.%d",
+                F.expr("event_id div 65536") % 256,
+                F.expr("event_id div 256") % 256,
+                F.col("event_id") % 256,
+            ),
+        ),
+        "ip",
+        [(None, "10.0.8.0"), ("10.0.8.0", "10.0.32.0"), "10.0.0.0/19"],
     )
 )
 
@@ -2566,6 +2663,10 @@ _DRIVER_PRIORITY = [
     "analysis_pattern_replace",
     "analyze_url_email_tokens",
     "bm25_alias_filtered",
+    # new in r5: tokenizer/filter/agg backlog closure
+    "analyze_path_hierarchy_tokens",
+    "analyze_reverse_tokens",
+    "agg_ip_range",
     # code changed this round → re-evidence: bounded fuzzy_like_this
     # expansion, hot-bucket loser routing, stem index realigned to 8
     # partitions (field_masking alignment contract)

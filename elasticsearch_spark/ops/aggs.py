@@ -229,6 +229,52 @@ def range_agg(
     return exploded.groupBy(*grp).agg(F.count(F.lit(1)).alias("doc_count"))
 
 
+def ip_range_agg(
+    df: DataFrame,
+    col: str,
+    ranges: Sequence,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """ipv4_range aggregation (bucket/range/ipv4/, IpFieldMapper.java:375):
+    bucket a dotted-quad string column by [from, to) IP bounds.
+
+    ``ranges`` entries are either ``(from_ip|None, to_ip|None)`` pairs or
+    CIDR mask strings ("10.0.0.0/18" → the network's [lo, hi) span,
+    IPv4RangeBuilder.cidrMaskToMinMax). Overlapping buckets allowed, like
+    range_agg. The string→long conversion is a JVM-side expression, so the
+    scan shape is identical to a numeric range agg at any scale.
+    """
+    from elasticsearch_spark.functions.ip import (
+        cidr_range,
+        ip_to_long,
+        ip_to_long_col,
+    )
+
+    ipl = "__ip_long"
+    base = df.withColumn(ipl, ip_to_long_col(col))
+    buckets = []
+    for r in ranges:
+        if isinstance(r, str):
+            lo, hi = cidr_range(r)
+            label = r
+        else:
+            lo_ip, hi_ip = r
+            lo = ip_to_long(lo_ip) if lo_ip is not None else None
+            hi = ip_to_long(hi_ip) if hi_ip is not None else None
+            label = f"{lo_ip or '*'}-{hi_ip or '*'}"
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(ipl) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(ipl) < hi)
+        buckets.append(F.when(cond, F.lit(label)))
+    exploded = base.withColumn("range_key", F.explode(F.array(*buckets))).where(
+        F.col("range_key").isNotNull()
+    )
+    grp = ["range_key", *(by or [])]
+    return exploded.groupBy(*grp).agg(F.count(F.lit(1)).alias("doc_count"))
+
+
 def filters_agg(df: DataFrame, named: Mapping[str, Column]) -> DataFrame:
     """FiltersAggregator.java — one row per named predicate bucket."""
     aggs = [

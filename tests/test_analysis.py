@@ -215,3 +215,69 @@ def test_uax_url_email_series_matches_scalar():
     assert list(analyze_series(pd.Series(texts), cfg)) == [
         tokenize_text(t, cfg) for t in texts
     ]
+
+
+# --- path_hierarchy tokenizer (PathHierarchyTokenizerFactory.java) ---------
+
+PATH_GOLDEN = [
+    ("/a/b/c", ["/a", "/a/b", "/a/b/c"]),
+    ("one/two/three", ["one", "one/two", "one/two/three"]),
+    ("a/b/", ["a", "a/b", "a/b/"]),  # trailing delimiter kept, like Lucene
+    ("single", ["single"]),
+    ("/", ["/"]),  # bare root: the delimiter itself is the one token
+    ("", []),
+]
+
+
+@pytest.mark.parametrize("text,expected", PATH_GOLDEN)
+def test_path_hierarchy_golden(text, expected):
+    cfg = AnalyzerConfig(kind="path_hierarchy")
+    assert tokenize_text(text, cfg) == expected
+
+
+def test_path_hierarchy_custom_delimiter():
+    cfg = AnalyzerConfig(kind="path_hierarchy", path_delimiter=".")
+    assert tokenize_text("com.example.app", cfg) == [
+        "com", "com.example", "com.example.app",
+    ]
+
+
+def test_path_hierarchy_series_matches_scalar():
+    cfg = AnalyzerConfig(kind="path_hierarchy")
+    texts = [t for t, _ in PATH_GOLDEN]
+    assert list(analyze_series(pd.Series(texts), cfg)) == [
+        tokenize_text(t, cfg) for t in texts
+    ]
+
+
+def test_path_hierarchy_and_filters_sql_python_parity(spark):
+    """path_hierarchy + trim/reverse token filters: the native-SQL plan and
+    the Python reference agree token-for-token."""
+    from elasticsearch_spark.analysis.analyzers import (
+        sql_tokenize_expr,
+        tokenize_column,
+        tokenize_text,
+    )
+
+    texts = ["/a/b/c", "x/y", "", "no-delims", "dot.sep/mix"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    cfgs = [
+        AnalyzerConfig(kind="path_hierarchy"),
+        AnalyzerConfig(kind="path_hierarchy", path_delimiter="."),
+        AnalyzerConfig(kind="simple", token_filters=("reverse",)),
+        AnalyzerConfig(kind="keyword", token_filters=("trim",)),
+        AnalyzerConfig(kind="simple", token_filters=("trim", "reverse")),
+    ]
+    for cfg in cfgs:
+        assert sql_tokenize_expr("text", cfg) is not None, cfg  # stays JVM-side
+        got = [list(r[0]) for r in df.select(tokenize_column("text", cfg)).collect()]
+        assert got == [tokenize_text(t, cfg) for t in texts], cfg
+
+
+def test_trim_reverse_token_filters_scalar():
+    assert tokenize_text(
+        "  Hello  ", AnalyzerConfig(kind="keyword", token_filters=("trim",))
+    ) == ["Hello"]
+    assert tokenize_text(
+        "abc def", AnalyzerConfig(kind="simple", token_filters=("reverse",))
+    ) == ["cba", "fed"]

@@ -257,3 +257,43 @@ def test_terms_agg_order_by_subagg(spark):
     assert [(r["cat"], r["doc_count"], r["avg_v"], r["max_v"]) for r in out] == [
         ("c", 1, 60.0, 60), ("b", 2, 51.0, 100)
     ]
+
+
+# --- ipv4 functions + ip_range agg (IpFieldMapper.java:375, bucket/range/ipv4/)
+
+
+def test_ip_long_roundtrip_and_cidr():
+    from elasticsearch_spark.functions.ip import cidr_range, ip_to_long, long_to_ip
+
+    assert ip_to_long("0.0.0.0") == 0
+    assert ip_to_long("255.255.255.255") == 2**32 - 1
+    assert ip_to_long("10.0.8.0") == 167774208
+    assert long_to_ip(167774208) == "10.0.8.0"
+    assert cidr_range("10.0.0.0/19") == (167772160, 167780352)
+    assert cidr_range("10.0.13.7/19") == (167772160, 167780352)  # host bits masked
+    assert cidr_range("0.0.0.0/0") == (0, 2**32)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ip_to_long("10.0.8")
+    with _pytest.raises(ValueError):
+        ip_to_long("10.0.8.256")
+
+
+def test_ip_range_agg(spark):
+    from elasticsearch_spark.ops.aggs import ip_range_agg
+
+    rows = [("10.0.0.5",), ("10.0.8.1",), ("10.0.9.200",), ("10.1.0.1",)]
+    df = spark.createDataFrame(rows, "ip string")
+    out = {
+        r["range_key"]: r["doc_count"]
+        for r in ip_range_agg(
+            df, "ip", [(None, "10.0.8.0"), ("10.0.8.0", "10.0.32.0"), "10.0.0.0/19"]
+        ).collect()
+    }
+    # overlap allowed: the CIDR bucket double-counts the first three rows
+    assert out == {
+        "*-10.0.8.0": 1,
+        "10.0.8.0-10.0.32.0": 2,
+        "10.0.0.0/19": 3,
+    }
