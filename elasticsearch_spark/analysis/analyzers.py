@@ -104,6 +104,25 @@ def _chunk_long(tokens: list[str], max_len: int) -> list[str]:
     return out
 
 
+# --- classic tokenizer ------------------------------------------------------
+# ClassicTokenizerFactory analog (Lucene's pre-3.1 StandardTokenizer
+# grammar): emails, hostnames, company names (AT&T), apostrophe words and
+# acronyms survive as single tokens. Ordered alternation approximating the
+# JFlex grammar, kept to RE2-safe constructs (no lookaround) so the DuckDB
+# oracle can run the identical pattern. Documented divergences: NUM tokens
+# with internal hyphens ("1-2-3") split (requires lookahead to demand a
+# digit), and an acronym's trailing period is never part of the token.
+CLASSIC_TOKEN_PATTERN = (
+    r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"  # EMAIL
+    r"|[A-Za-z]+(?:[&@][A-Za-z]+)+"  # COMPANY (AT&T, Excite@Home)
+    r"|[A-Za-z]+(?:'[A-Za-z]+)+"  # APOSTROPHE (O'Neil's)
+    r"|[A-Za-z](?:\.[A-Za-z])+"  # ACRONYM (U.S.A. -> u.s.a)
+    r"|[A-Za-z0-9][A-Za-z0-9\-]*(?:\.[A-Za-z0-9][A-Za-z0-9\-]*)+"  # HOST
+    r"|[A-Za-z0-9]+"  # ALPHANUM
+)
+_CLASSIC_RE = re.compile(CLASSIC_TOKEN_PATTERN)
+
+
 def _path_hierarchy(text: str, delim: str) -> list[str]:
     """PathHierarchyTokenizerFactory.java analog (defaults: delimiter '/',
     skip 0): every ancestor prefix of the delimited value, leading-empty
@@ -226,6 +245,12 @@ def tokenize_text(text: str, cfg: AnalyzerConfig | None = None) -> list[str]:
             toks = [t.lower() for t in toks]
     elif cfg.kind == "path_hierarchy":
         toks = _path_hierarchy(text, cfg.path_delimiter)
+    elif cfg.kind == "classic":
+        # no long-token chunking (like "simple"): keeps the Python and
+        # native-SQL paths identical; >255-char tokens are pathological
+        toks = _CLASSIC_RE.findall(text)
+        if cfg.lowercase:
+            toks = [t.lower() for t in toks]
     else:
         raise ValueError(f"unknown analyzer kind: {cfg.kind}")
     if cfg.stopwords:
@@ -264,6 +289,10 @@ def analyze_series(s: pd.Series, cfg: AnalyzerConfig | None = None) -> pd.Series
     elif cfg.kind == "path_hierarchy":
         d = cfg.path_delimiter
         toks = s.map(lambda t: _path_hierarchy(t, d))
+    elif cfg.kind == "classic":
+        toks = s.str.findall(_CLASSIC_RE)
+        if cfg.lowercase:
+            toks = toks.map(lambda ts: [t.lower() for t in ts])
     else:
         raise ValueError(f"unknown analyzer kind: {cfg.kind}")
     if cfg.stopwords:
@@ -457,6 +486,10 @@ def sql_tokenize_expr(col: str, cfg: AnalyzerConfig) -> str | None:
         return None
     if cfg.kind == "simple":
         base = f"regexp_extract_all(lower({src}), '{SIMPLE_TOKEN_PATTERN}', 0)"
+    elif cfg.kind == "classic":
+        pat = CLASSIC_TOKEN_PATTERN.replace("\\", "\\\\").replace("'", "\\'")
+        inner = f"regexp_extract_all({src}, '{pat}', 0)"
+        base = f"transform({inner}, x -> lower(x))" if cfg.lowercase else inner
     elif cfg.kind == "whitespace":
         # split on runs of whitespace, drop empty edge tokens
         base = f"filter(split({src}, '\\\\s+'), x -> x != '')"

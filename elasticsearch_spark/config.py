@@ -54,6 +54,11 @@ class AnalyzerConfig:
         (UAX29URLEmailTokenizerFactory; practical regex approximation of
         the reference's JFlex RFC grammars — divergence documented at
         analyzers.URL_TOKEN_PATTERN).
+      - "classic": Lucene's pre-3.1 StandardTokenizer grammar
+        (ClassicTokenizerFactory): emails, hostnames, company names
+        (AT&T), apostrophe words and acronyms survive as single tokens.
+        RE2-safe regex approximation of the JFlex grammar — divergences
+        documented at analyzers.CLASSIC_TOKEN_PATTERN. SQL-expressible.
       - "path_hierarchy": emit every ancestor prefix of a
         ``path_delimiter``-separated value (PathHierarchyTokenizerFactory
         .java defaults: delimiter '/', skip 0) — "/a/b/c" →

@@ -1633,6 +1633,44 @@ register("analyze_reverse_tokens", _ANALYZE_REVERSE_SQL)(
     )
 )
 
+# classic tokenizer (ClassicTokenizerFactory — Lucene's pre-3.1
+# StandardTokenizer grammar): acronyms (U.S.A.), company names (AT&T),
+# emails, hostnames and apostrophe words survive as single tokens. The
+# oracle runs the IDENTICAL RE2-safe alternation (analyzers.
+# CLASSIC_TOKEN_PATTERN) in DuckDB; a deterministic tail exercises every
+# grammar branch on each row.
+_CLASSIC_TAIL = " re U.S.A. ask AT&T mail bob@example.com visit api-v2.example.com it's fine"
+_ANALYZE_CLASSIC_SQL = f"""
+WITH wrapped AS (
+  SELECT doc_id, text || '{_CLASSIC_TAIL.replace("'", "''")}' AS w
+  FROM documents WHERE doc_id < 40
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(w),
+    '{__import__("elasticsearch_spark.analysis.analyzers", fromlist=["x"]).CLASSIC_TOKEN_PATTERN.replace("'", "''")}'
+  ) AS t
+  FROM wrapped
+)
+SELECT doc_id,
+       unnest(generate_series(1, len(t))) - 1 AS pos,
+       unnest(t) AS token
+FROM toks
+""".strip()
+
+register("analyze_classic_tokens", _ANALYZE_CLASSIC_SQL)(
+    lambda spark, sf: _t(spark, sf, "documents")
+    .where(F.col("doc_id") < 40)
+    .withColumn("wrapped", F.concat(F.col("text"), F.lit(_CLASSIC_TAIL)))
+    .select(
+        "doc_id",
+        F.posexplode(
+            __import__(
+                "elasticsearch_spark.analysis.analyzers", fromlist=["x"]
+            ).tokenize_column("wrapped", AnalyzerConfig(kind="classic"))
+        ).alias("pos", "token"),
+    )
+)
+
 register("analyze_whitespace_tokens", _ANALYZE_WS_SQL)(
     lambda spark, sf: _t(spark, sf, "documents")
     .where(F.col("doc_id") < 40)
@@ -2666,6 +2704,7 @@ _DRIVER_PRIORITY = [
     # new in r5: tokenizer/filter/agg backlog closure
     "analyze_path_hierarchy_tokens",
     "analyze_reverse_tokens",
+    "analyze_classic_tokens",
     "agg_ip_range",
     # code changed this round → re-evidence: bounded fuzzy_like_this
     # expansion, hot-bucket loser routing, stem index realigned to 8

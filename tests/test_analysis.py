@@ -281,3 +281,44 @@ def test_trim_reverse_token_filters_scalar():
     assert tokenize_text(
         "abc def", AnalyzerConfig(kind="simple", token_filters=("reverse",))
     ) == ["cba", "fed"]
+
+
+# --- classic tokenizer (ClassicTokenizerFactory, pre-3.1 grammar) ----------
+
+CLASSIC_GOLDEN = [
+    ("the U.S.A. economy", ["the", "u.s.a", "economy"]),  # ACRONYM
+    ("AT&T and Excite@Home stock", ["at&t", "and", "excite@home", "stock"]),
+    ("mail bob@example.com now", ["mail", "bob@example.com", "now"]),  # EMAIL
+    ("visit example.com today", ["visit", "example.com", "today"]),  # HOST
+    ("O'Neil's book", ["o'neil's", "book"]),  # APOSTROPHE
+    ("192.168.1.1 pinged", ["192.168.1.1", "pinged"]),  # dotted quad = HOST
+    ("C++ rocks 42", ["c", "rocks", "42"]),
+    ("", []),
+]
+
+
+@pytest.mark.parametrize("text,expected", CLASSIC_GOLDEN)
+def test_classic_tokenizer_golden(text, expected):
+    assert tokenize_text(text, AnalyzerConfig(kind="classic")) == expected
+
+
+def test_classic_series_matches_scalar():
+    cfg = AnalyzerConfig(kind="classic")
+    texts = [t for t, _ in CLASSIC_GOLDEN]
+    assert list(analyze_series(pd.Series(texts), cfg)) == [
+        tokenize_text(t, cfg) for t in texts
+    ]
+
+
+def test_classic_sql_python_parity(spark):
+    from elasticsearch_spark.analysis.analyzers import (
+        sql_tokenize_expr,
+        tokenize_column,
+    )
+
+    cfg = AnalyzerConfig(kind="classic")
+    texts = [t for t, _ in CLASSIC_GOLDEN] + ["MiXed.Case-Host.org x"]
+    assert sql_tokenize_expr("text", cfg) is not None
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [list(r[0]) for r in df.select(tokenize_column("text", cfg)).collect()]
+    assert got == [tokenize_text(t, cfg) for t in texts]
