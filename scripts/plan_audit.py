@@ -260,6 +260,83 @@ def main() -> None:
         FAILS.append(("ttl_expiry_single_agg", "more than one corpus scan"))
         print("FAIL  ttl_expiry_single_agg (duplicate scans)")
 
+    # 14. fuzzy_like_this bounded expansion: the max_query_terms cut runs
+    #     IN Spark (TakeOrderedAndProject over the pushed candidate scan) —
+    #     the driver never collects an uncapped fuzzy expansion set. Spied
+    #     on the ACTUAL internal collect, not a re-created shape.
+    # patch the CONCRETE DataFrame class — in pyspark 4 the classic
+    # session's instances override collect(), so patching the base
+    # pyspark.sql.DataFrame never intercepts
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # older pyspark: one DataFrame class
+        from pyspark.sql import DataFrame as _DF
+
+    from elasticsearch_spark.ops.mlt import fuzzy_like_this
+
+    captured: list[str] = []
+    _orig_collect = _DF.collect
+
+    def _spy_collect(self):
+        captured.append(plan_of(self))
+        return _orig_collect(self)
+
+    _DF.collect = _spy_collect
+    try:
+        fuzzy_like_this(reader, "merge quary", fuzziness=1, max_query_terms=5)
+    finally:
+        _DF.collect = _orig_collect
+    exp_plans = [p for p in captured if "levenshtein" in p.lower()]
+    if not exp_plans:
+        FAILS.append(("fuzzy_like_this_bounded_expansion", "no expansion collect seen"))
+        print("FAIL  fuzzy_like_this_bounded_expansion (no expansion collect seen)")
+    else:
+        check(
+            "fuzzy_like_this_bounded_expansion",
+            exp_plans[0],
+            must=["TakeOrderedAndProject"],
+            must_not=["CartesianProduct"],
+        )
+
+    # 15. single-query distributed-merge escape hatch (query/executor.py):
+    #     past the gather budget (segments x k candidate rows) the global
+    #     top-k tie-group cut runs as a rank() window in Spark BEFORE the
+    #     driver collect. Force the hatch (budget 0), assert the actually
+    #     collected candidate plan carries the Window, and that results are
+    #     rank/score-identical to the un-hatched path.
+    from elasticsearch_spark.query import executor as _exec
+
+    base = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in _exec.search_topk(reader, "data merge", k=5, mode="spark").collect()
+    ]
+    captured.clear()
+    _old_budget = _exec._GATHER_MAX_ROWS
+    _exec._GATHER_MAX_ROWS = 0
+    _DF.collect = _spy_collect
+    try:
+        hatched_df = _exec.search_topk(reader, "data merge", k=5, mode="spark")
+    finally:
+        _DF.collect = _orig_collect
+        _exec._GATHER_MAX_ROWS = _old_budget
+    hatched = [
+        (r["doc_id"], round(r["score"], 9)) for r in hatched_df.collect()
+    ]
+    gather_plans = [p for p in captured if "flatmapcogroupsinpandas" in p.lower()]
+    if not gather_plans:
+        FAILS.append(("search_bounded_gather", "no scatter/gather collect seen"))
+        print("FAIL  search_bounded_gather (no scatter/gather collect seen)")
+    else:
+        check(
+            "search_bounded_gather",
+            gather_plans[0],
+            must=["Window"],
+            must_not=["CartesianProduct"],
+        )
+    if hatched != base:
+        FAILS.append(("search_bounded_gather", "hatched results differ from base"))
+        print("FAIL  search_bounded_gather (hatched results differ)")
+
     print()
     if FAILS:
         for n, why in FAILS:
