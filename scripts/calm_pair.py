@@ -109,7 +109,8 @@ def main() -> None:
     log_path = sys.argv[1]
     build_only = "--build-only" in sys.argv
     rec: dict = {"ts": time.strftime("%H:%M:%S"), "lo": LO, "hi": HI,
-                 "n_convs": N_CONVS, "pre": bracket()}
+                 "n_convs": N_CONVS, "build_only": build_only,
+                 "pre": bracket()}
     pre = rec["pre"]
     if pre["hw_eff"] < GATE_EFF or pre["burn_hi"] < GATE_AGG:
         rec["gate"] = "skip"

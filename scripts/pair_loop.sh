@@ -25,7 +25,7 @@ for i in $(seq 1 "$N"); do
     continue
   fi
   touch /tmp/esbench_pair.lock
-  python3 /root/repo/scripts/calm_pair.py "$LOG" || echo "attempt $i failed"
+  python3 /root/repo/scripts/calm_pair.py "$LOG" ${PAIR_EXTRA:-} || echo "attempt $i failed"
   rm -f /tmp/esbench_pair.lock
   clean=$(python3 - "$LOG" <<'EOF'
 import json, sys
