@@ -123,8 +123,13 @@ class IndexConfig:
     # Stable document key, also the tie-break order. For transcripts:
     # (conv_id, turn_idx); for the generic documents table: (doc_id,).
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
-    # Column used for hash routing (conversations stay co-located, the analog
-    # of ES parent/child same-shard routing). Defaults to first key column.
+    # Optional routing column (the ES ?routing= opt-in: all docs sharing the
+    # value land in one partition/segment, e.g. conv_id co-location). When
+    # None, routing hashes ALL key columns — the reference DEFAULT
+    # (shard = murmur3(_id) mod n, PlainOperationRouting.java:265-286),
+    # which keeps partitions balanced under heavy-tailed group sizes
+    # (Zipf conversation lengths put 4x the average turns in one partition
+    # when routing on conv_id alone; measured in BENCH.md round 5).
     routing_col: str | None = None
     # Extra columns kept in the per-segment doc table ("doc values") so that
     # filtered queries (role:, tool:, ts range) never touch the source table.
@@ -142,5 +147,5 @@ class IndexConfig:
     # keep latest version of a duplicated (key) by ts — the versionMap analog
     dedup_latest_by: str | None = None
 
-    def routing(self) -> str:
-        return self.routing_col or self.key_cols[0]
+    def routing_cols(self) -> tuple[str, ...]:
+        return (self.routing_col,) if self.routing_col else self.key_cols

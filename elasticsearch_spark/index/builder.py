@@ -10,7 +10,9 @@ The Spark analog of the reference's indexing path (SURVEY.md §3.2):
     (index/translog/Translog.java, LocalIndexShardGateway.java:113-161)
 
 Here:
-  pid = pmod(xxhash64(routing_col), n_partitions)   -- one shuffle, total
+  pid = pmod(xxhash64(*routing_cols), n_partitions)  -- one shuffle, total
+    (default: ALL key cols = the reference's _id routing, balanced under
+    Zipf group sizes; routing_col opts into co-location like ?routing=)
   → repartition(n, pid).sortWithinPartitions(pid, *key_cols)
   → mapInPandas streams Arrow batches, accumulates one pid at a time and
     flushes immutable parquet *segments* (postings blocks, doc table, packed
@@ -361,7 +363,10 @@ def build_index(
     df = dedup_latest(df, cfg)
     df = df.withColumn(
         PID_COL,
-        F.pmod(F.xxhash64(F.col(cfg.routing())), F.lit(cfg.n_partitions)).cast("int"),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in cfg.routing_cols()]),
+            F.lit(cfg.n_partitions),
+        ).cast("int"),
     )
 
     skip = committed_pids(spark, index_dir) if resume else set()

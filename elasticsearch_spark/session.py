@@ -42,7 +42,9 @@ def get_spark(
         # local-mode driver hosts all task threads — at 32 threads an 8g heap
         # GC-thrashes (measured 3x slowdown); size generously
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test noise); SPARK_GRAFT_UI=true exposes the
+        # REST task-metrics API for the occupancy evidence scripts
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .getOrCreate()
     )
