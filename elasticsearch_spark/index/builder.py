@@ -10,10 +10,12 @@ The Spark analog of the reference's indexing path (SURVEY.md §3.2):
     (index/translog/Translog.java, LocalIndexShardGateway.java:113-161)
 
 Here:
-  pid = pmod(xxhash64(*routing_cols), n_partitions)  -- one shuffle, total
+  pid = pmod(murmur3(*routing_cols), n_partitions)  -- one shuffle, total
     (default: ALL key cols = the reference's _id routing, balanced under
     Zipf group sizes; routing_col opts into co-location like ?routing=)
-  → repartition(n, pid).sortWithinPartitions(pid, *key_cols)
+  → repartition(n, *routing_cols).sortWithinPartitions(pid, *key_cols)
+    (shuffling on the routing cols themselves puts exactly ONE pid in
+    each task — pid is the partition index by construction)
   → mapInPandas streams Arrow batches, accumulates one pid at a time and
     flushes immutable parquet *segments* (postings blocks, doc table, packed
     norms, per-segment term stats) directly from the task — like a Lucene
@@ -361,10 +363,15 @@ def build_index(
     fsio.makedirs(index_dir)
 
     df = dedup_latest(df, cfg)
+    # F.hash is Murmur3(seed 42) — the SAME function HashPartitioning uses,
+    # so pid == the physical partition index under repartition(n, *cols).
+    # Routing through a precomputed pid column instead (repartition(n, pid))
+    # re-hashes the pid VALUE and collides distinct pids balls-in-bins:
+    # measured 3 pids (39k rows) in one task vs the 13k average at n=64.
     df = df.withColumn(
         PID_COL,
         F.pmod(
-            F.xxhash64(*[F.col(c) for c in cfg.routing_cols()]),
+            F.hash(*[F.col(c) for c in cfg.routing_cols()]),
             F.lit(cfg.n_partitions),
         ).cast("int"),
     )
@@ -376,8 +383,9 @@ def build_index(
         df = df.where(F.col(PID_COL).isin(sorted(only_pids)))
 
     shaped = (
-        df.repartition(cfg.n_partitions, F.col(PID_COL))
-        .sortWithinPartitions(PID_COL, *cfg.key_cols)
+        df.repartition(
+            cfg.n_partitions, *[F.col(c) for c in cfg.routing_cols()]
+        ).sortWithinPartitions(PID_COL, *cfg.key_cols)
     )
     build_fn = _make_build_fn(cfg, index_dir, max_docs_per_segment, segment_prefix)
     manifest = shaped.mapInPandas(build_fn, schema=MANIFEST_SCHEMA)
