@@ -391,8 +391,22 @@ def build_index(
     manifest = shaped.mapInPandas(build_fn, schema=MANIFEST_SCHEMA)
     import time as _time
 
+    # Pin the segment stage at exactly n_partitions tasks. When an upstream
+    # op (e.g. the dedup_latest window) already hash-partitions on the
+    # routing columns, Catalyst elides the explicit repartition as redundant
+    # — one shuffle total, pid still == partition index — but the surviving
+    # exchange is AQE-coalescible: measured 64 partitions merged into 5
+    # tasks of 13 pids each (300 MB / 64 MB advisory), which packs terribly
+    # across cores (5 tasks on 4 cores = a half-idle second wave). Segment
+    # parallelism is an explicit layout choice; never let AQE resize it.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coalesce = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
     t0 = _time.perf_counter()
-    manifest_rows = manifest.collect()  # small: one row per segment
+    try:
+        manifest_rows = manifest.collect()  # small: one row per segment
+    finally:
+        spark.conf.set(coalesce_key, prev_coalesce)
     t_segments = _time.perf_counter() - t0
 
     # commit manifest (translog/commit-point analog) — append mode for resume.
