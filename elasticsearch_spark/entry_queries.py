@@ -2682,13 +2682,12 @@ register("percolate_queries", _PERCOLATE_SQL)(_percolate_query)
 # Round-4 window (50 slots): the 8 entries new this round, then the 8
 # entries whose round-3 row was rows-only and which now carry pymirror
 # VALUES oracles (re-recorded as hash-green), then 34 of the 47 spine
-# entries whose newest driver row is r2. The 13 spine entries left outside
-# (bm25_k100, bm25_zero_hits, agg_stats, filter_prefix,
-# bm25_phrase_trigram, span_near_unordered, multi_match_most_fields,
-# fuzzy_query, bm25_match_msm2, bm25_indexed_and, span_not, filter_regexp,
-# suggest_completion) are each the sibling of an in-window or r3-recorded
-# family member; their newest driver row stays r2 (exactly two rounds
-# back) and all remain pytest/verify_oracles-green locally.
+# entries whose newest driver row is oldest. The r5 window front-loads
+# (a) every entry new this round, (b) entries whose code changed this
+# round, (c) the 13 entries whose newest driver row was r2 (r4 verdict
+# item 5 — all rotated in below), then (d) r3-recorded spine entries.
+# Everything stays pytest/verify_oracles-green locally regardless of
+# which subset the driver samples.
 _DRIVER_PRIORITY = [
     # new in r5: span-family completion, char filters, uax_url_email,
     # filtered alias
