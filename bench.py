@@ -53,8 +53,12 @@ WORK_DIR = os.environ.get("SPARK_GRAFT_WORK", "/tmp/es_spark_bench")
 # suite (so the decision cannot condition on the engine's result), wait out
 # collapses up to a bound, and record every probe reading in the output.
 GATE_FLOOR = float(os.environ.get("SPARK_GRAFT_BENCH_GATE", "10.0"))  # it/s
-GATE_WAITS = int(os.environ.get("SPARK_GRAFT_BENCH_WAITS", "4"))
-GATE_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "45"))
+# Wait budget: r4 measured collapse episodes outlasting the old 4x45s
+# budget (60+ gated attempts over 4h, most collapsed); 8x60s keeps the
+# worst-case run under ~12 min (probes + suite) while roughly doubling
+# the chance the committed artifact lands calm.
+GATE_WAITS = int(os.environ.get("SPARK_GRAFT_BENCH_WAITS", "8"))
+GATE_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "60"))
 
 _BURN_SRC = r"""
 import multiprocessing as mp, sys, time
